@@ -68,16 +68,28 @@ class TransformerEncoder(CfgModule):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 lengths: Optional[Array] = None) -> Array:
+        """``lengths`` enables the vectorized per-sample-equivalent encode:
+        the reference encodes each sample's unpadded sequence alone in a
+        python loop (seq2seq_pretrain.py:185-199); with ``lengths`` this
+        batched path reproduces those outputs at every valid position
+        (edge-filled conv, masked instance norm, key-masked attention,
+        batch-size-1 positional mode)."""
         cfg = self.cfg
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="vertice_mapping")(x)
         h = nn.leaky_relu(h, negative_slope=cfg.neg)
         h = ConvSquasher(cfg.hidden_size, cfg.quant_factor, cfg.neg, cfg.INaffine,
-                         dtype=self.dtype, name="squasher")(h)
+                         dtype=self.dtype, name="squasher")(h, lengths)
         h = LinearEmbedding(cfg.hidden_size, dtype=self.dtype,
                             name="encoder_linear_embedding")(h)
         h = PositionalEncoding(cfg.hidden_size, dtype=self.dtype,
-                               name="encoder_pos_embedding")(h, deterministic=deterministic)
+                               name="encoder_pos_embedding")(
+            h, deterministic=deterministic,
+            mode="single" if lengths is not None else None)
+        key_mask = None
+        if lengths is not None:
+            key_mask = (jnp.arange(h.shape[1])[None, :] < lengths[:, None])[:, None, :]
         h = Transformer(
             hidden_size=cfg.hidden_size,
             num_hidden_layers=cfg.num_hidden_layers,
@@ -85,7 +97,7 @@ class TransformerEncoder(CfgModule):
             intermediate_size=cfg.intermediate_size,
             dtype=self.dtype,
             name="encoder_transformer",
-        )(h)
+        )(h, mask=key_mask)
         if self.project_to_quant:
             h = LinearEmbedding(cfg.face_quan_num * cfg.zquant_dim, dtype=self.dtype,
                                 name="encoder_linear_embedding_post")(h)
@@ -169,15 +181,26 @@ class VQAutoEncoder(CfgModule):
         self.quantize = VectorQuantizer(self.cfg.n_embed, self.cfg.zquant_dim,
                                         beta=0.25, dtype=self.dtype)
 
-    def encode(self, x: Array, deterministic: bool = True) -> VQEncodeResult:
-        h = self.encoder(x, deterministic=deterministic)
+    def encode(self, x: Array, deterministic: bool = True,
+               lengths: Optional[Array] = None) -> VQEncodeResult:
+        h = self.encoder(x, deterministic=deterministic, lengths=lengths)
         h = _fold_codes(h, self.cfg.face_quan_num, self.cfg.zquant_dim)
         q: VQResult = self.quantize(h)
         return VQEncodeResult(q.z_q, q.loss, q.perplexity, q.indices)
 
+    def encode_indices(self, x: Array, lengths: Optional[Array] = None) -> Array:
+        """Vectorized tokenization: (B, L, C) [+ lengths] -> (B, L*fq) codes."""
+        return self.encode(x, lengths=lengths).indices
+
     def decode(self, quant_bcl: Array, deterministic: bool = True) -> Array:
         h = _unfold_codes(quant_bcl, self.cfg.face_quan_num, self.cfg.zquant_dim)
         return self.decoder(h, deterministic=deterministic)
+
+    def decode_indices(self, indices: Array, deterministic: bool = True) -> Array:
+        """(B, L*fq) codes -> motion, via codebook lookup + decode."""
+        z_q = self.quantize.get_codebook_entry(indices.reshape(-1), shape=None)
+        z_q = z_q.reshape(indices.shape[0], indices.shape[1], -1)
+        return self.decode(jnp.transpose(z_q, (0, 2, 1)), deterministic=deterministic)
 
     def decode_feats(self, quant_bcl: Array, deterministic: bool = True) -> Array:
         h = _unfold_codes(quant_bcl, self.cfg.face_quan_num, self.cfg.zquant_dim)

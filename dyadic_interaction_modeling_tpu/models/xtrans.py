@@ -1,0 +1,462 @@
+"""x-transformers replacement stack (L2/L3).
+
+The reference delegates every seq2seq model to lucidrains' ``x-transformers``
+(``/root/reference/code/seq2seq_pretrain.py:10``, ``seq2seq.py:10``):
+``ContinuousTransformerWrapper`` + ``Encoder``, ``TransformerWrapper`` +
+``Decoder(cross_attend=True)`` + ``AutoregressiveWrapper``. This module is a
+ground-up JAX rebuild of the *semantics* the reference relies on:
+
+* pre-norm attention layers, dim_head=64, separate unbiased q/k/v/out
+  projections, GELU feedforward (mult 4), final LayerNorm,
+* learned absolute positional embeddings up to ``max_seq_len``,
+* ``AutoregressiveWrapper`` training loss: inputs ``x[:, :-1]`` (with
+  ignore_index positions replaced by pad_value), targets ``x[:, 1:]``,
+  cross-entropy with ``ignore_index=-100``; optional ``mask_prob`` input
+  corruption implemented as a self-attention key mask,
+* ``generate``: per-token sampling with top-k filtering (top 10% of the
+  vocabulary) and temperature 1.0 - matching x-transformers' defaults used
+  by SLMFT eval (seq2seq_pretrain.py:450).
+
+TPU redesign: generation is a jitted ``lax.scan`` over a preallocated
+self-attention KV cache with cross-attention K/V computed once - one matmul
+bundle per token instead of the reference's full re-forward per token
+(x-transformers ``.generate`` python loop). Best-of-N sampling batches across
+the sample axis (engine.pt_engine) instead of looping.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+
+class XAttention(nn.Module):
+    """x-transformers-style attention: per-head scale, no biases."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    causal: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.dim_head
+        self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)
+
+    def _proj(self, x, name):
+        return {"to_q": self.to_q, "to_k": self.to_k, "to_v": self.to_v}[name](x)
+
+    def _split(self, x):
+        b, n, _ = x.shape
+        return x.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+    def __call__(self, x: Array, context: Optional[Array] = None,
+                 key_mask: Optional[Array] = None,
+                 attn_mask: Optional[Array] = None) -> Array:
+        """key_mask: (B, Lk) True=attend; attn_mask: (Lq, Lk) or (B, Lq, Lk)."""
+        kv_src = x if context is None else context
+        q = self._split(self._proj(x, "to_q"))
+        k = self._split(self._proj(kv_src, "to_k"))
+        v = self._split(self._proj(kv_src, "to_v"))
+        scale = self.dim_head ** -0.5
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        lq, lk = dots.shape[-2], dots.shape[-1]
+        if self.causal:
+            causal = jnp.tril(jnp.ones((lq, lk), dtype=bool), lk - lq)
+            dots = jnp.where(causal[None, None], dots, NEG_INF)
+        if attn_mask is not None:
+            if attn_mask.ndim == 2:
+                attn_mask = attn_mask[None, None]
+            elif attn_mask.ndim == 3:
+                attn_mask = attn_mask[:, None]
+            dots = jnp.where(attn_mask, dots, NEG_INF)
+        if key_mask is not None:
+            dots = jnp.where(key_mask[:, None, None, :], dots, NEG_INF)
+        attn = jax.nn.softmax(dots, axis=-1)
+        # fully-masked rows (padding queries) produce NaN-free zeros
+        attn = jnp.where(jnp.isfinite(dots).any(axis=-1, keepdims=True), attn, 0.0)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out(out)
+
+    # --- cached single-step path (generation) ---
+
+    def cross_kv(self, context: Array) -> Tuple[Array, Array]:
+        """Precompute cross-attention K/V once per generated sequence."""
+        k = self._split(self._proj(context, "to_k"))
+        v = self._split(self._proj(context, "to_v"))
+        return k, v
+
+    def step_self(self, x_t: Array, cache_k: Array, cache_v: Array, t: Array
+                  ) -> Tuple[Array, Array, Array]:
+        """Single-token causal self-attention against a KV cache.
+
+        x_t: (B, 1, dim); cache_k/v: (B, H, Lmax, Dh); t: scalar step index.
+        Returns (out (B,1,dim), new_cache_k, new_cache_v).
+        """
+        q = self._split(self._proj(x_t, "to_q"))         # (B,H,1,Dh)
+        k_t = self._split(self._proj(x_t, "to_k"))
+        v_t = self._split(self._proj(x_t, "to_v"))
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, t, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, t, 0))
+        scale = self.dim_head ** -0.5
+        dots = jnp.einsum("bhid,bhjd->bhij", q, cache_k,
+                          preferred_element_type=jnp.float32) * scale
+        lmax = cache_k.shape[2]
+        valid = jnp.arange(lmax)[None, None, None, :] <= t
+        dots = jnp.where(valid, dots, NEG_INF)
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cache_v.dtype), cache_v,
+                         preferred_element_type=jnp.float32).astype(x_t.dtype)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        out = self.to_out(out)
+        return out, cache_k, cache_v
+
+    def step_cross(self, x_t: Array, k: Array, v: Array,
+                   key_mask: Optional[Array]) -> Array:
+        """Single-token cross-attention against precomputed context K/V."""
+        q = self._split(self._proj(x_t, "to_q"))
+        scale = self.dim_head ** -0.5
+        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        if key_mask is not None:
+            dots = jnp.where(key_mask[:, None, None, :], dots, NEG_INF)
+        attn = jax.nn.softmax(dots, axis=-1)
+        attn = jnp.where(jnp.isfinite(dots).any(axis=-1, keepdims=True), attn, 0.0)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(x_t.dtype)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out(out)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype, name="w1")(x)
+        h = jax.nn.gelu(h, approximate=False)  # x-transformers uses exact GELU
+        return nn.Dense(self.dim, dtype=self.dtype, name="w2")(h)
+
+
+class EncoderLayers(nn.Module):
+    """Pre-norm (self-attn, ff) x depth + final norm (x-transformers Encoder)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, key_mask: Optional[Array] = None,
+                 attn_mask: Optional[Array] = None) -> Array:
+        for i in range(self.depth):
+            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            x = x + XAttention(self.dim, self.heads, self.dim_head,
+                               dtype=self.dtype, name=f"attn_{i}")(
+                h, key_mask=key_mask, attn_mask=attn_mask)
+            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            x = x + FeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")(h)
+        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+
+
+class DecoderLayers(nn.Module):
+    """Pre-norm (causal self-attn, cross-attn, ff) x depth + final norm."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int = 64
+    cross_attend: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.norm_self = [nn.LayerNorm(dtype=self.dtype, name=f"norm_self_{i}")
+                          for i in range(self.depth)]
+        self.self_attn = [XAttention(self.dim, self.heads, self.dim_head, causal=True,
+                                     dtype=self.dtype, name=f"self_{i}")
+                          for i in range(self.depth)]
+        if self.cross_attend:
+            self.norm_cross = [nn.LayerNorm(dtype=self.dtype, name=f"norm_cross_{i}")
+                               for i in range(self.depth)]
+            self.cross_attn = [XAttention(self.dim, self.heads, self.dim_head,
+                                          dtype=self.dtype, name=f"cross_{i}")
+                               for i in range(self.depth)]
+        self.norm_ff = [nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")
+                        for i in range(self.depth)]
+        self.ff = [FeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")
+                   for i in range(self.depth)]
+        self.final_norm = nn.LayerNorm(dtype=self.dtype)
+
+    def __call__(self, x: Array, context: Optional[Array] = None,
+                 self_key_mask: Optional[Array] = None,
+                 context_mask: Optional[Array] = None) -> Array:
+        for i in range(self.depth):
+            x = x + self.self_attn[i](self.norm_self[i](x), key_mask=self_key_mask)
+            if self.cross_attend:
+                x = x + self.cross_attn[i](self.norm_cross[i](x), context=context,
+                                           key_mask=context_mask)
+            x = x + self.ff[i](self.norm_ff[i](x))
+        return self.final_norm(x)
+
+    # --- generation support ---
+
+    def cross_kv(self, context: Array) -> List[Tuple[Array, Array]]:
+        assert self.cross_attend
+        return [self.cross_attn[i].cross_kv(context) for i in range(self.depth)]
+
+    def step(self, x_t: Array, cache: Dict[str, Array], t: Array,
+             cross_kv: Optional[List[Tuple[Array, Array]]] = None,
+             context_mask: Optional[Array] = None
+             ) -> Tuple[Array, Dict[str, Array]]:
+        new_cache = dict(cache)
+        for i in range(self.depth):
+            a, ck, cv = self.self_attn[i].step_self(
+                self.norm_self[i](x_t), cache[f"k_{i}"], cache[f"v_{i}"], t)
+            new_cache[f"k_{i}"] = ck
+            new_cache[f"v_{i}"] = cv
+            x_t = x_t + a
+            if self.cross_attend:
+                k, v = cross_kv[i]
+                x_t = x_t + self.cross_attn[i].step_cross(
+                    self.norm_cross[i](x_t), k, v, context_mask)
+            x_t = x_t + self.ff[i](self.norm_ff[i](x_t))
+        return self.final_norm(x_t), new_cache
+
+
+def init_decoder_cache(batch: int, max_len: int, depth: int, heads: int,
+                       dim_head: int = 64, dtype=jnp.float32) -> Dict[str, Array]:
+    """Preallocated self-attention KV cache for DecoderLayers.step."""
+    shape = (batch, heads, max_len, dim_head)
+    cache = {}
+    for i in range(depth):
+        cache[f"k_{i}"] = jnp.zeros(shape, dtype=dtype)
+        cache[f"v_{i}"] = jnp.zeros(shape, dtype=dtype)
+    return cache
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+
+class ContinuousTransformerWrapper(nn.Module):
+    """Continuous-input encoder (x-transformers ContinuousTransformerWrapper).
+
+    project_in -> + learned abs pos emb -> Encoder layers -> final norm
+    [-> project_out unless return_embeddings].
+    """
+
+    dim: int
+    dim_out: int
+    max_seq_len: int
+    depth: int
+    heads: int
+    use_abs_pos_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 attn_mask: Optional[Array] = None,
+                 prepend_embeds: Optional[Array] = None,
+                 return_embeddings: bool = False) -> Array:
+        h = nn.Dense(self.dim, dtype=self.dtype, name="project_in")(x)
+        if self.use_abs_pos_emb:
+            pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                             (self.max_seq_len, self.dim))
+            h = h + pos[None, : h.shape[1], :].astype(h.dtype)
+        if prepend_embeds is not None:
+            h = jnp.concatenate([prepend_embeds.astype(h.dtype), h], axis=1)
+            if mask is not None:
+                pre = jnp.ones((h.shape[0], prepend_embeds.shape[1]), dtype=bool)
+                mask = jnp.concatenate([pre, mask], axis=1)
+        h = EncoderLayers(self.dim, self.depth, self.heads, dtype=self.dtype,
+                          name="layers")(h, key_mask=mask, attn_mask=attn_mask)
+        if return_embeddings:
+            return h
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="project_out")(h)
+
+
+class TokenDecoder(nn.Module):
+    """Token-input cross-attending decoder
+    (TransformerWrapper + Decoder(cross_attend=True)).
+
+    token embedding + learned abs pos emb -> Decoder layers -> to_logits.
+    """
+
+    num_tokens: int
+    dim: int
+    max_seq_len: int
+    depth: int
+    heads: int
+    use_abs_pos_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.token_emb = nn.Embed(self.num_tokens, self.dim, dtype=self.dtype)
+        if self.use_abs_pos_emb:
+            self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
+                                      (self.max_seq_len, self.dim))
+        self.layers = DecoderLayers(self.dim, self.depth, self.heads, dtype=self.dtype)
+        self.to_logits = nn.Dense(self.num_tokens, use_bias=False, dtype=self.dtype)
+
+    def _embed(self, tokens: Array, offset=0) -> Array:
+        emb = self.token_emb(tokens)
+        if self.use_abs_pos_emb:
+            emb = emb + jax.lax.dynamic_slice_in_dim(
+                self.pos_emb, offset, tokens.shape[1], axis=0)[None].astype(emb.dtype)
+        return emb
+
+    def __call__(self, tokens: Array, context: Optional[Array] = None,
+                 self_key_mask: Optional[Array] = None,
+                 context_mask: Optional[Array] = None) -> Array:
+        h = self._embed(tokens)
+        h = self.layers(h, context=context, self_key_mask=self_key_mask,
+                        context_mask=context_mask)
+        return self.to_logits(h)
+
+    # --- generation path (method=... targets) ---
+
+    def cross_kv(self, context: Array):
+        return self.layers.cross_kv(context)
+
+    def decode_step(self, token: Array, cache, t: Array, cross_kv,
+                    context_mask: Optional[Array] = None):
+        h = self._embed(token, t)
+        h, cache = self.layers.step(h, cache, t, cross_kv, context_mask)
+        return self.to_logits(h)[:, 0], cache
+
+
+# ---------------------------------------------------------------------------
+# autoregressive wrapper semantics
+# ---------------------------------------------------------------------------
+
+
+def ar_inputs_targets(x: Array, ignore_index: int = -100, pad_value: int = 0
+                      ) -> Tuple[Array, Array]:
+    """Shifted teacher-forcing split (AutoregressiveWrapper.forward)."""
+    inp, target = x[:, :-1], x[:, 1:]
+    inp = jnp.where(inp == ignore_index, pad_value, inp)
+    return inp, target
+
+
+def ar_mask_prob_kv_mask(rng: jax.Array, batch: int, seq: int, mask_prob: float) -> Array:
+    """AutoregressiveWrapper mask_prob input corruption as a self-attn key mask.
+
+    Masks ``floor(seq * mask_prob)`` random input positions per row, never
+    position 0 (x-transformers autoregressive_wrapper.py).
+    Returns (B, seq) True = attend.
+    """
+    num_mask = min(int(seq * mask_prob), seq - 1)
+    if num_mask <= 0:
+        return jnp.ones((batch, seq), dtype=bool)
+    rand = jax.random.normal(rng, (batch, seq))
+    rand = rand.at[:, 0].set(NEG_INF)
+    _, idx = jax.lax.top_k(rand, num_mask)
+    mask = jnp.ones((batch, seq), dtype=bool)
+    rows = jnp.repeat(jnp.arange(batch), num_mask)
+    mask = mask.at[rows, idx.reshape(-1)].set(False)
+    return mask
+
+
+def ar_cross_entropy(logits: Array, targets: Array, ignore_index: int = -100) -> Array:
+    """Token CE with ignore_index, mean over kept positions (torch semantics)."""
+    v = logits.shape[-1]
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    safe = jnp.clip(targets, 0, v - 1)
+    nll = -jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+    keep = (targets != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+
+
+def top_k_filter(logits: Array, frac_num_tokens: float = 0.1) -> Array:
+    """x-transformers ``top_k``: keep ceil(frac * vocab) best logits."""
+    k = max(1, math.ceil(frac_num_tokens * logits.shape[-1]))
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+class ARStep(NamedTuple):
+    tokens: Array
+    cache: Any
+    rng: jax.Array
+
+
+def generate_tokens(
+    decoder: TokenDecoder,
+    params,
+    prompt: Array,
+    seq_len: int,
+    context: Array,
+    context_mask: Optional[Array],
+    rng: jax.Array,
+    temperature: float = 1.0,
+    filter_frac: float = 0.1,
+    greedy: bool = False,
+) -> Array:
+    """KV-cached autoregressive sampling: returns (B, seq_len) generated tokens.
+
+    Replaces x-transformers ``AutoregressiveWrapper.generate`` (full re-forward
+    per token) with a jittable ``lax.scan``: cross K/V computed once, one
+    cached decoder step per token. Sampling matches the reference defaults:
+    top-k keep-10% filtering, temperature 1.0, categorical sampling.
+    ``prompt`` is (B, P); the prompt is consumed through the same cache and is
+    NOT included in the returned tokens (x-transformers returns out[:, t:]).
+    """
+    b, p = prompt.shape
+    max_len = p + seq_len
+
+    cross_kv = decoder.apply(params, context, method=TokenDecoder.cross_kv)
+    cache = init_decoder_cache(b, max_len, decoder.depth, decoder.heads,
+                               dtype=decoder.dtype)
+
+    def step_fn(token, cache, t):
+        return decoder.apply(params, token, cache, t, cross_kv, context_mask,
+                             method=TokenDecoder.decode_step)
+
+    # consume the prompt
+    logits = None
+    for i in range(p):
+        logits, cache = step_fn(prompt[:, i: i + 1], cache, jnp.asarray(i))
+
+    def sample(logits, key):
+        if greedy:
+            return jnp.argmax(logits, axis=-1).astype(prompt.dtype)
+        filt = top_k_filter(logits, filter_frac) / temperature
+        return jax.random.categorical(key, filt, axis=-1).astype(prompt.dtype)
+
+    def scan_body(carry, i):
+        logits, cache, rng = carry
+        rng, sub = jax.random.split(rng)
+        tok = sample(logits, sub)
+        new_logits, cache = step_fn(tok[:, None], cache, p + i)
+        return (new_logits, cache, rng), tok
+
+    (_, _, _), tokens = jax.lax.scan(
+        scan_body, (logits, cache, rng), jnp.arange(seq_len))
+    return tokens.T  # (B, seq_len)

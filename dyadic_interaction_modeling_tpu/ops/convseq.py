@@ -99,6 +99,40 @@ def instance_norm_1d(x: Array, eps: float = 1e-5,
     return out
 
 
+def fill_pad_with_edge(x: Array, lengths: Array) -> Array:
+    """Replace padded frames with each sequence's last valid frame.
+
+    Makes a batched conv over padded sequences produce, at every *valid*
+    position, exactly what the reference's per-sample replicate-padded conv
+    produces (the k=5/pad=2 kernel only ever sees <=2 frames past the end,
+    which replicate padding fills with the final frame).
+    """
+    b, l, _ = x.shape
+    idx = jnp.minimum(jnp.arange(l)[None, :], lengths[:, None] - 1)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+def masked_instance_norm_1d(x: Array, lengths: Array, eps: float = 1e-5,
+                            scale: Optional[Array] = None,
+                            bias: Optional[Array] = None) -> Array:
+    """InstanceNorm1d over only the first ``lengths`` frames of each sample.
+
+    Matches the reference encoding each sample's unpadded sequence alone;
+    padded positions get garbage values and must be masked downstream.
+    """
+    b, l, c = x.shape
+    m = (jnp.arange(l)[None, :] < lengths[:, None]).astype(x.dtype)[:, :, None]
+    denom = jnp.maximum(lengths.astype(x.dtype), 1.0)[:, None, None]
+    mean = jnp.sum(x * m, axis=1, keepdims=True) / denom
+    var = jnp.sum(jnp.square(x - mean) * m, axis=1, keepdims=True) / denom
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def max_pool_time(x: Array, window: int = 2) -> Array:
     """MaxPool1d over time, stride = window, floor semantics (drop tail)."""
     b, l, c = x.shape
@@ -118,17 +152,21 @@ class _ConvINBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, lengths: Optional[Array] = None) -> Array:
         w = self.param("kernel", nn.initializers.lecun_normal(), (5, x.shape[-1], self.dim))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        if lengths is not None:
+            x = fill_pad_with_edge(x, lengths)
         x = conv1d_replicate(x, w.astype(self.dtype), b.astype(self.dtype), self.stride, 2)
         x = nn.leaky_relu(x, negative_slope=self.neg)
+        scale = shift = None
         if self.affine:
-            scale = self.param("in_scale", nn.initializers.ones, (self.dim,))
-            shift = self.param("in_bias", nn.initializers.zeros, (self.dim,))
-            x = instance_norm_1d(x, scale=scale.astype(self.dtype), bias=shift.astype(self.dtype))
+            scale = self.param("in_scale", nn.initializers.ones, (self.dim,)).astype(self.dtype)
+            shift = self.param("in_bias", nn.initializers.zeros, (self.dim,)).astype(self.dtype)
+        if lengths is not None:
+            x = masked_instance_norm_1d(x, lengths, scale=scale, bias=shift)
         else:
-            x = instance_norm_1d(x)
+            x = instance_norm_1d(x, scale=scale, bias=shift)
         if self.max_pool:
             x = max_pool_time(x, 2)
         return x
@@ -150,10 +188,11 @@ class ConvSquasher(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, lengths: Optional[Array] = None) -> Array:
         if self.quant_factor == 0:
             return _ConvINBlock(self.dim, 1, self.neg, self.affine, dtype=self.dtype,
-                                name="block_0")(x)
+                                name="block_0")(x, lengths)
+        assert lengths is None, "masked squash only supported for quant_factor=0"
         x = _ConvINBlock(self.dim, 2, self.neg, self.affine, dtype=self.dtype,
                          name="block_0")(x)
         for i in range(1, self.quant_factor):

@@ -48,16 +48,26 @@ class PositionalEncoding(nn.Module):
     d_model: int
     dropout: float = 0.1
     max_len: int = 5000
-    time_axis: bool = False
+    mode: str = "batch"  # 'batch' | 'single' | 'time'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True,
+                 mode: Optional[str] = None) -> Array:
+        """mode 'batch': reference quirk - sample b gets encoding of position b
+        (matches the reference processing a batch of size B).
+        mode 'single': every sample gets position-0 encoding - equivalent to
+        the reference processing each sample alone (batch size 1), which is
+        what its per-sample VQ-encode loops do (seq2seq_pretrain.py:185-199).
+        mode 'time': the conventional per-frame encoding.
+        """
+        mode = mode or self.mode
         pe = sinusoid_table(self.max_len, self.d_model, self.dtype)
-        if self.time_axis:
+        if mode == "time":
             x = x + pe[None, : x.shape[1], :]
-        else:
-            # reference quirk: index by batch position, broadcast over time
+        elif mode == "single":
+            x = x + pe[0][None, None, :]
+        else:  # 'batch' - reference quirk: index by batch position
             x = x + pe[: x.shape[0], None, :]
         if self.dropout > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.dropout)(x, deterministic=False)
