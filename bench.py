@@ -1,0 +1,159 @@
+"""Benchmark harness - prints ONE JSON line.
+
+Headline metric (BASELINE.json): listener-motion generation throughput in
+frames/sec/chip - SLMFT at full reference dims (dim 384 + 768 audio, depth 4,
+512 codes) generating 255 listener frames per 256-frame clip via the
+KV-cached ``lax.scan`` decoder, on the real TPU chip.
+
+``vs_baseline`` compares against the reference *algorithm* on CPU: an AR loop
+that re-runs the full decoder forward over the whole prefix for every
+generated token (x-transformers ``AutoregressiveWrapper.generate`` semantics
+used by ``test_s2s_pretrain.py``). The repo publishes no numbers
+(BASELINE.md), so the baseline is self-measured once and cached in
+``bench_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+
+B, L = 8, 256  # bench batch: 8 clips x 256 frames (~8.5 s at 30 fps)
+
+
+def _make_model():
+    from dyadic_interaction_modeling_tpu import config as C
+    from dyadic_interaction_modeling_tpu.models.slm import SLMFT
+
+    slm_cfg = C.slm_defaults()
+    vq_cfg = C.vq_listener_defaults()
+    return SLMFT(slm_cfg, vq_cfg), slm_cfg
+
+
+def _init_params(model):
+    """Init with tiny-length inputs: param shapes are length-independent,
+    so this avoids compiling the full-length init graph."""
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    l0 = 8
+    v_s = jax.random.normal(ks[0], (1, l0, 56))
+    v_l = jax.random.normal(ks[1], (1, l0, 56))
+    v_a = jax.random.normal(ks[2], (1, l0, 768))
+    mask = jnp.ones((1, l0), dtype=bool)
+    return model.init(jax.random.PRNGKey(1), v_s, v_l, v_a, mask,
+                      jax.random.PRNGKey(2))["params"]
+
+
+def _batch(b, l):
+    import jax
+    import jax.numpy as jnp
+
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    return (jax.random.normal(ks[0], (b, l, 56)),
+            jax.random.normal(ks[1], (b, l, 56)),
+            jax.random.normal(ks[2], (b, l, 768)),
+            jnp.ones((b, l), dtype=bool))
+
+
+def measure_tpu_throughput(model, slm_cfg, params) -> float:
+    import jax
+
+    from dyadic_interaction_modeling_tpu.engine.pt_engine import make_slmft_generator
+
+    import numpy as np
+
+    gen = make_slmft_generator(model, slm_cfg, L)
+    batch = _batch(B, L)
+    rng = jax.random.PRNGKey(3)
+    np.asarray(gen(params, batch, rng, 1))  # compile
+    # NOTE: on the axon TPU platform block_until_ready returns early; a full
+    # device_get is the only reliable fence (transfer is ~0.5 MB, negligible).
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = np.asarray(gen(params, batch, jax.random.fold_in(rng, i), 1))
+    dt = (time.perf_counter() - t0) / iters
+    return B * (L - 1) / dt
+
+
+def measure_cpu_reference_baseline(model, slm_cfg, params) -> float:
+    """Reference-algorithm throughput on host CPU: full re-forward per token.
+
+    The forward is jitted once at fixed length with a key mask over the live
+    prefix (charitable to the baseline - the reference's python loop also
+    retraces shapes); the algorithmic O(L^2) re-forward cost is preserved.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dyadic_interaction_modeling_tpu.models.slm import SLMFT
+    from dyadic_interaction_modeling_tpu.models.xtrans import TokenDecoder
+
+    b, l = 1, 64
+    cpu = jax.devices("cpu")[0]
+    params = jax.device_put(params, cpu)
+    with jax.default_device(cpu):
+        v_s, v_l, v_a, mask = _batch(b, l)
+        ctx, prompt = model.apply({"params": params}, v_s, v_l, v_a, mask,
+                                  method=SLMFT.encode_context)
+        dec = TokenDecoder(num_tokens=slm_cfg.num_tokens,
+                           dim=slm_cfg.dim + slm_cfg.dim_audio,
+                           max_seq_len=slm_cfg.dec_max_seq_len,
+                           depth=slm_cfg.dec_depth, heads=slm_cfg.dec_heads,
+                           use_abs_pos_emb=False)
+        dparams = {"params": params["decoder_joint"]}
+
+        @jax.jit
+        def full_forward_step(tokens, t):
+            live = jnp.arange(l)[None, :] <= t
+            logits = dec.apply(dparams, tokens, ctx,
+                               self_key_mask=live, context_mask=mask)
+            nxt = jnp.argmax(jnp.take_along_axis(
+                logits, t[None, None, None].repeat(b, 0), axis=1)[:, 0], axis=-1)
+            return tokens.at[:, t + 1].set(nxt)
+
+        tokens = jnp.zeros((b, l), dtype=jnp.int32).at[:, 0].set(prompt[:, 0])
+        tokens = jax.block_until_ready(full_forward_step(tokens, jnp.int32(0)))  # compile
+        t0 = time.perf_counter()
+        for t in range(l - 1):
+            tokens = full_forward_step(tokens, jnp.int32(t))
+        jax.block_until_ready(tokens)
+        dt = time.perf_counter() - t0
+    return b * (l - 1) / dt
+
+
+def get_baseline(model, slm_cfg, params) -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return float(json.load(f)["cpu_reference_frames_per_sec"])
+    fps = measure_cpu_reference_baseline(model, slm_cfg, params)
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({
+            "cpu_reference_frames_per_sec": fps,
+            "how": "full-reforward AR decode (reference algorithm, jitted) on host "
+                   "CPU, SLMFT full dims, B=1 L=64",
+        }, f, indent=2)
+    return fps
+
+
+def main():
+    model, slm_cfg = _make_model()
+    params = _init_params(model)
+    fps = measure_tpu_throughput(model, slm_cfg, params)
+    baseline = get_baseline(model, slm_cfg, params)
+    print(json.dumps({
+        "metric": "listener_gen_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
