@@ -121,17 +121,27 @@ class TransformerDecoder(CfgModule):
 
     @nn.compact
     def __call__(self, h: Array, deterministic: bool = True,
-                 return_feats: bool = False) -> Array:
+                 return_feats: bool = False,
+                 lengths: Optional[Array] = None) -> Array:
+        """``lengths`` enables the per-sample-equivalent masked decode (same
+        machinery as the encoder's lengths path); used by CodeTalker.predict
+        which decodes growing prefixes inside a jitted loop."""
         cfg = self.cfg
         if self.project_from_quant:
             h = LinearEmbedding(cfg.hidden_size, dtype=self.dtype,
                                 name="decoder_linear_embedding_pre")(h)
         h = ConvExpander(cfg.hidden_size, cfg.quant_factor, self.is_audio,
-                         cfg.neg, cfg.INaffine, dtype=self.dtype, name="expander")(h)
+                         cfg.neg, cfg.INaffine, dtype=self.dtype,
+                         name="expander")(h, lengths)
         h = LinearEmbedding(cfg.hidden_size, dtype=self.dtype,
                             name="decoder_linear_embedding")(h)
         h = PositionalEncoding(cfg.hidden_size, dtype=self.dtype,
-                               name="decoder_pos_embedding")(h, deterministic=deterministic)
+                               name="decoder_pos_embedding")(
+            h, deterministic=deterministic,
+            mode="single" if lengths is not None else None)
+        key_mask = None
+        if lengths is not None:
+            key_mask = (jnp.arange(h.shape[1])[None, :] < lengths[:, None])[:, None, :]
         h = Transformer(
             hidden_size=cfg.hidden_size,
             num_hidden_layers=cfg.num_hidden_layers,
@@ -139,7 +149,7 @@ class TransformerDecoder(CfgModule):
             intermediate_size=cfg.intermediate_size,
             dtype=self.dtype,
             name="decoder_transformer",
-        )(h)
+        )(h, mask=key_mask)
         if return_feats:
             return h
         return nn.Dense(self.out_dim, use_bias=self.out_bias, dtype=self.dtype,
@@ -192,9 +202,12 @@ class VQAutoEncoder(CfgModule):
         """Vectorized tokenization: (B, L, C) [+ lengths] -> (B, L*fq) codes."""
         return self.encode(x, lengths=lengths).indices
 
-    def decode(self, quant_bcl: Array, deterministic: bool = True) -> Array:
+    def decode(self, quant_bcl: Array, deterministic: bool = True,
+               lengths: Optional[Array] = None) -> Array:
         h = _unfold_codes(quant_bcl, self.cfg.face_quan_num, self.cfg.zquant_dim)
-        return self.decoder(h, deterministic=deterministic)
+        if lengths is not None:
+            lengths = lengths // self.cfg.face_quan_num  # frame-level lengths
+        return self.decoder(h, deterministic=deterministic, lengths=lengths)
 
     def decode_indices(self, indices: Array, deterministic: bool = True) -> Array:
         """(B, L*fq) codes -> motion, via codebook lookup + decode."""

@@ -1,0 +1,388 @@
+"""wav2vec2 audio encoder in JAX (L2/L3).
+
+Parity target: the reference's subclassed HF ``Wav2Vec2Model``
+(``/root/reference/code/models/lib/wav2vec.py:69-147``):
+
+* strided conv feature extractor (7 layers, 512 ch) -> (B, T', 512),
+* frame-rate alignment: BIWI trims to an even count / 2x frame_num
+  (wav2vec.py:92-97); vocaset linearly interpolates 50 -> 30 fps
+  (wav2vec.py:61-67,98-99),
+* feature projection (LayerNorm + Linear 512 -> 768),
+* SpecAugment-style time/feature masking during training
+  (wav2vec.py:113-131, ``_compute_mask_indices`` :11-58),
+* 12-layer post-norm transformer encoder with a grouped-conv relative
+  positional embedding.
+
+Weights import from HF checkpoints (``facebook/wav2vec2-base-960h``) via
+``hf_wav2vec2_to_flax``. The conv stack and attention run as XLA ops on the
+MXU; audio is processed in bf16-safe fp32 by default.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class W2VConfig:
+    """Subset of HF Wav2Vec2Config the model needs (defaults = base)."""
+
+    def __init__(self,
+                 conv_dim: Sequence[int] = (512,) * 7,
+                 conv_kernel: Sequence[int] = (10, 3, 3, 3, 3, 2, 2),
+                 conv_stride: Sequence[int] = (5, 2, 2, 2, 2, 2, 2),
+                 conv_bias: bool = False,
+                 hidden_size: int = 768,
+                 num_hidden_layers: int = 12,
+                 num_attention_heads: int = 12,
+                 intermediate_size: int = 3072,
+                 num_conv_pos_embeddings: int = 128,
+                 num_conv_pos_embedding_groups: int = 16,
+                 feat_extract_norm: str = "group",
+                 do_stable_layer_norm: bool = False,
+                 mask_time_prob: float = 0.05,
+                 mask_time_length: int = 10,
+                 mask_feature_prob: float = 0.0,
+                 mask_feature_length: int = 10,
+                 layer_norm_eps: float = 1e-5):
+        self.conv_dim = tuple(conv_dim)
+        self.conv_kernel = tuple(conv_kernel)
+        self.conv_stride = tuple(conv_stride)
+        self.conv_bias = conv_bias
+        self.hidden_size = hidden_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.intermediate_size = intermediate_size
+        self.num_conv_pos_embeddings = num_conv_pos_embeddings
+        self.num_conv_pos_embedding_groups = num_conv_pos_embedding_groups
+        self.feat_extract_norm = feat_extract_norm
+        self.do_stable_layer_norm = do_stable_layer_norm
+        self.mask_time_prob = mask_time_prob
+        self.mask_time_length = mask_time_length
+        self.mask_feature_prob = mask_feature_prob
+        self.mask_feature_length = mask_feature_length
+        self.layer_norm_eps = layer_norm_eps
+
+    @classmethod
+    def from_hf(cls, hf_config) -> "W2VConfig":
+        return cls(
+            conv_dim=hf_config.conv_dim, conv_kernel=hf_config.conv_kernel,
+            conv_stride=hf_config.conv_stride, conv_bias=hf_config.conv_bias,
+            hidden_size=hf_config.hidden_size,
+            num_hidden_layers=hf_config.num_hidden_layers,
+            num_attention_heads=hf_config.num_attention_heads,
+            intermediate_size=hf_config.intermediate_size,
+            num_conv_pos_embeddings=hf_config.num_conv_pos_embeddings,
+            num_conv_pos_embedding_groups=hf_config.num_conv_pos_embedding_groups,
+            feat_extract_norm=hf_config.feat_extract_norm,
+            do_stable_layer_norm=hf_config.do_stable_layer_norm,
+            mask_time_prob=hf_config.mask_time_prob,
+            mask_time_length=hf_config.mask_time_length,
+            mask_feature_prob=hf_config.mask_feature_prob,
+            mask_feature_length=hf_config.mask_feature_length,
+            layer_norm_eps=hf_config.layer_norm_eps)
+
+    # hashable for flax module fields
+    def __hash__(self):
+        return hash(tuple(sorted(self.__dict__.items())))
+
+    def __eq__(self, other):
+        return isinstance(other, W2VConfig) and self.__dict__ == other.__dict__
+
+
+def linear_interpolation(features: Array, input_fps: int, output_fps: int,
+                         output_len: Optional[int] = None) -> Array:
+    """torch F.interpolate(mode='linear', align_corners=True) over time.
+
+    features: (B, T, C) (the reference transposes around the call,
+    wav2vec.py:61-67).
+    """
+    b, t, c = features.shape
+    if output_len is None:
+        output_len = int(t / float(input_fps) * output_fps)
+    if output_len == t:
+        return features
+    # align_corners=True: positions map linearly from [0, out-1] to [0, t-1]
+    pos = jnp.linspace(0.0, t - 1.0, output_len)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, t - 1)
+    w = (pos - lo)[None, :, None]
+    return features[:, lo] * (1 - w) + features[:, hi] * w
+
+
+class ConvLayer(nn.Module):
+    dim: int
+    kernel: int
+    stride: int
+    use_bias: bool
+    norm: str  # 'group' | 'layer' | 'none'
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (self.kernel, x.shape[-1], self.dim))
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(self.dtype), (self.stride,), "VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            x = x + self.param("bias", nn.initializers.zeros, (self.dim,))
+        if self.norm == "group":
+            # HF GroupNorm(num_groups=dim): per-channel norm over time
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+            x = x * self.param("gn_scale", nn.initializers.ones, (self.dim,))
+            x = x + self.param("gn_bias", nn.initializers.zeros, (self.dim,))
+        elif self.norm == "layer":
+            x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")(x)
+        return jax.nn.gelu(x, approximate=False)
+
+
+class FeatureExtractor(nn.Module):
+    cfg: W2VConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_values: Array) -> Array:
+        x = input_values[:, :, None]  # (B, samples, 1)
+        for i, (d, k, s) in enumerate(zip(self.cfg.conv_dim, self.cfg.conv_kernel,
+                                          self.cfg.conv_stride)):
+            if self.cfg.feat_extract_norm == "group":
+                norm = "group" if i == 0 else "none"
+            else:
+                norm = "layer"
+            x = ConvLayer(d, k, s, self.cfg.conv_bias, norm,
+                          self.cfg.layer_norm_eps, dtype=self.dtype,
+                          name=f"conv_{i}")(x)
+        return x
+
+
+class PosConvEmbedding(nn.Module):
+    cfg: W2VConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.cfg.num_conv_pos_embeddings
+        groups = self.cfg.num_conv_pos_embedding_groups
+        c = self.cfg.hidden_size
+        w = self.param("kernel", nn.initializers.he_normal(), (k, c // groups, c))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        pad = k // 2
+        h = jax.lax.conv_general_dilated(
+            x, w.astype(self.dtype), (1,), ((pad, pad),),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32).astype(self.dtype) + b
+        if k % 2 == 0:  # HF Wav2Vec2SamePadLayer removes one trailing step
+            h = h[:, :-1]
+        return jax.nn.gelu(h, approximate=False)
+
+
+class W2VEncoderLayer(nn.Module):
+    """Post-norm transformer layer (do_stable_layer_norm=False, base model)."""
+
+    cfg: W2VConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, key_mask: Optional[Array] = None) -> Array:
+        c = self.cfg
+        h = x
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q")(h)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k")(h)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v")(h)
+        nh = c.num_attention_heads
+        hd = c.hidden_size // nh
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], nh, hd).transpose(0, 2, 1, 3)
+
+        dots = jnp.einsum("bhid,bhjd->bhij", split(q), split(k),
+                          preferred_element_type=jnp.float32) * hd ** -0.5
+        if key_mask is not None:
+            dots = jnp.where(key_mask[:, None, None, :], dots, float("-inf"))
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), split(v),
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape)
+        out = nn.Dense(c.hidden_size, dtype=self.dtype, name="out")(out)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                         name="ln_attn")(x + out)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="ff1")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="ff2")(h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="ln_ff")(x + h)
+
+
+def compute_mask_indices(rng: np.random.Generator, shape: Tuple[int, int],
+                         mask_prob: float, mask_length: int,
+                         min_masks: int = 0) -> np.ndarray:
+    """SpecAugment span masking - host-side numpy like the reference
+    (wav2vec.py:11-58). Returns bool (B, T), True = masked."""
+    bsz, all_sz = shape
+    mask = np.zeros(shape, dtype=bool)
+    all_num_mask = int(mask_prob * all_sz / float(mask_length) + rng.random())
+    all_num_mask = max(min_masks, all_num_mask)
+    mask_idcs = []
+    for _ in range(bsz):
+        num_mask = all_num_mask
+        lengths = np.full(num_mask, mask_length)
+        if lengths.sum() == 0:
+            lengths[0] = min(mask_length, all_sz - 1)
+        min_len = int(lengths.min())
+        if all_sz - min_len <= num_mask:
+            min_len = all_sz - num_mask - 1
+        starts = rng.choice(all_sz - min_len, num_mask, replace=False)
+        idc = np.asarray([s + off for s, le in zip(starts, lengths)
+                          for off in range(le)])
+        mask_idcs.append(np.unique(idc[idc < all_sz]))
+    min_len = min(len(m) for m in mask_idcs)
+    for i, idc in enumerate(mask_idcs):
+        if len(idc) > min_len:
+            idc = rng.choice(idc, min_len, replace=False)
+        mask[i, idc] = True
+    return mask
+
+
+class Wav2Vec2Model(nn.Module):
+    """Full audio encoder with the reference's frame alignment."""
+
+    cfg: W2VConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.feature_extractor = FeatureExtractor(self.cfg, dtype=self.dtype)
+        self.fp_norm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=self.dtype)
+        self.fp_proj = nn.Dense(self.cfg.hidden_size, dtype=self.dtype)
+        self.masked_spec_embed = self.param(
+            "masked_spec_embed", nn.initializers.uniform(1.0),
+            (self.cfg.hidden_size,))
+        self.pos_conv = PosConvEmbedding(self.cfg, dtype=self.dtype)
+        self.enc_norm = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, dtype=self.dtype)
+        self.layers = [W2VEncoderLayer(self.cfg, dtype=self.dtype,
+                                       name=f"layer_{i}")
+                       for i in range(self.cfg.num_hidden_layers)]
+
+    def extract_features(self, input_values: Array) -> Array:
+        return self.feature_extractor(input_values)
+
+    def encode(self, hidden_states: Array,
+               key_mask: Optional[Array] = None) -> Array:
+        h = hidden_states + self.pos_conv(hidden_states)
+        h = self.enc_norm(h)
+        for layer in self.layers:
+            h = layer(h, key_mask=key_mask)
+        return h
+
+    def __call__(self, input_values: Array, dataset: str = "BIWI",
+                 frame_num: Optional[int] = None,
+                 mask_time_indices: Optional[Array] = None) -> Array:
+        """Reference forward (wav2vec.py:72-147): conv features -> alignment ->
+        projection -> optional SpecAugment masking -> encoder.
+
+        ``mask_time_indices`` (bool (B, T')) applies the trained
+        masked_spec_embed at masked steps (training only; compute on host via
+        ``compute_mask_indices``).
+        """
+        h = self.extract_features(input_values)
+        if dataset == "BIWI":
+            if h.shape[1] % 2 != 0:
+                h = h[:, :-1]
+            if frame_num is not None and h.shape[1] > frame_num * 2:
+                h = h[:, : frame_num * 2]
+        elif dataset == "vocaset":
+            h = linear_interpolation(h, 50, 30, output_len=frame_num)
+        h = self.fp_proj(self.fp_norm(h))
+        if mask_time_indices is not None:
+            h = jnp.where(mask_time_indices[:, :, None],
+                          self.masked_spec_embed[None, None, :].astype(h.dtype), h)
+        return self.encode(h)
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint import
+# ---------------------------------------------------------------------------
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy()) if hasattr(t, "detach") else np.asarray(t)
+
+
+def hf_wav2vec2_to_flax(state_dict: Mapping[str, Any], cfg: W2VConfig) -> Dict:
+    """Map an HF Wav2Vec2Model state_dict onto this module's params."""
+    sd = {k.replace("wav2vec2.", ""): v for k, v in state_dict.items()}
+    p: Dict[str, Any] = {"feature_extractor": {}, "pos_conv": {}}
+
+    for i in range(len(cfg.conv_dim)):
+        conv = {
+            "kernel": _np(sd[f"feature_extractor.conv_layers.{i}.conv.weight"]).transpose(2, 1, 0)}
+        if cfg.conv_bias:
+            conv["bias"] = _np(sd[f"feature_extractor.conv_layers.{i}.conv.bias"])
+        if i == 0 and cfg.feat_extract_norm == "group":
+            conv["gn_scale"] = _np(sd["feature_extractor.conv_layers.0.layer_norm.weight"])
+            conv["gn_bias"] = _np(sd["feature_extractor.conv_layers.0.layer_norm.bias"])
+        elif cfg.feat_extract_norm == "layer":
+            conv["ln"] = {
+                "scale": _np(sd[f"feature_extractor.conv_layers.{i}.layer_norm.weight"]),
+                "bias": _np(sd[f"feature_extractor.conv_layers.{i}.layer_norm.bias"])}
+        p["feature_extractor"][f"conv_{i}"] = conv
+
+    p["fp_norm"] = {"scale": _np(sd["feature_projection.layer_norm.weight"]),
+                    "bias": _np(sd["feature_projection.layer_norm.bias"])}
+    p["fp_proj"] = {"kernel": _np(sd["feature_projection.projection.weight"]).T,
+                    "bias": _np(sd["feature_projection.projection.bias"])}
+    p["masked_spec_embed"] = _np(sd["masked_spec_embed"])
+
+    # pos conv: materialise weight-norm (weight_g/weight_v or parametrizations)
+    base = "encoder.pos_conv_embed.conv"
+    if f"{base}.weight" in sd:
+        w = _np(sd[f"{base}.weight"])
+    else:
+        if f"{base}.weight_g" in sd:
+            g = _np(sd[f"{base}.weight_g"])
+            v = _np(sd[f"{base}.weight_v"])
+        else:
+            g = _np(sd[f"{base}.parametrizations.weight.original0"])
+            v = _np(sd[f"{base}.parametrizations.weight.original1"])
+        # torch weight_norm(dim=2) over a (out, in/groups, k) conv weight
+        norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+        w = g * v / norm
+    # (out, in/groups, k) -> (k, in/groups, out)
+    p["pos_conv"] = {"kernel": w.transpose(2, 1, 0),
+                     "bias": _np(sd[f"{base}.bias"])}
+    p["enc_norm"] = {"scale": _np(sd["encoder.layer_norm.weight"]),
+                     "bias": _np(sd["encoder.layer_norm.bias"])}
+
+    for i in range(cfg.num_hidden_layers):
+        b = f"encoder.layers.{i}"
+        p[f"layer_{i}"] = {
+            "q": {"kernel": _np(sd[f"{b}.attention.q_proj.weight"]).T,
+                  "bias": _np(sd[f"{b}.attention.q_proj.bias"])},
+            "k": {"kernel": _np(sd[f"{b}.attention.k_proj.weight"]).T,
+                  "bias": _np(sd[f"{b}.attention.k_proj.bias"])},
+            "v": {"kernel": _np(sd[f"{b}.attention.v_proj.weight"]).T,
+                  "bias": _np(sd[f"{b}.attention.v_proj.bias"])},
+            "out": {"kernel": _np(sd[f"{b}.attention.out_proj.weight"]).T,
+                    "bias": _np(sd[f"{b}.attention.out_proj.bias"])},
+            "ln_attn": {"scale": _np(sd[f"{b}.layer_norm.weight"]),
+                        "bias": _np(sd[f"{b}.layer_norm.bias"])},
+            "ff1": {"kernel": _np(sd[f"{b}.feed_forward.intermediate_dense.weight"]).T,
+                    "bias": _np(sd[f"{b}.feed_forward.intermediate_dense.bias"])},
+            "ff2": {"kernel": _np(sd[f"{b}.feed_forward.output_dense.weight"]).T,
+                    "bias": _np(sd[f"{b}.feed_forward.output_dense.bias"])},
+            "ln_ff": {"scale": _np(sd[f"{b}.final_layer_norm.weight"]),
+                      "bias": _np(sd[f"{b}.final_layer_norm.bias"])},
+        }
+    return {"params": p}

@@ -218,10 +218,11 @@ class ConvExpander(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, lengths: Optional[Array] = None) -> Array:
         if self.quant_factor == 0:
             return _ConvINBlock(self.dim, 1, self.neg, self.affine, dtype=self.dtype,
-                                name="block_0")(x)
+                                name="block_0")(x, lengths)
+        assert lengths is None, "masked expand only supported for quant_factor=0"
         # first: transposed conv upsample x2
         w = self.param("tconv_kernel", nn.initializers.lecun_normal(), (5, x.shape[-1], self.dim))
         b = self.param("tconv_bias", nn.initializers.zeros, (self.dim,))
