@@ -19,6 +19,10 @@ import json
 import os
 import time
 
+from dyadic_interaction_modeling_tpu.utils.compilation_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 

@@ -1,0 +1,95 @@
+"""BIWI speaker evaluation (reference: ``code/test_biwi.py``).
+
+SpeakerSLMFT with best-of-N (beam 50) by vertex L2, exports gt/pred ``.npy``
+per clip (test_biwi.py:69-79) and prints LVE/FDD.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import slm_defaults, vq_listener_defaults
+from ..engine.pt_engine import select_best_by_l2, speaker_ids_from_names
+from ..metrics.reporting import print_biwi_metrics
+from ..models.slm import SpeakerSLMFT
+from ..utils.checkpoint import load_checkpoint
+from .common import get_parser, load_config, setup
+
+
+def main(argv=None):
+    parser = get_parser("BIWI speaker evaluation")
+    parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--beam-size", type=int, default=50)
+    parser.add_argument("--out-dir", type=str, default="./biwi_out")
+    parser.add_argument("--vertice-dim", type=int, default=70110)
+    parser.add_argument("--mouth-map", type=str, default=None)
+    parser.add_argument("--upper-map", type=str, default=None)
+    args = parser.parse_args(argv)
+    logger = setup(args)
+    slm_cfg = load_config(args, slm_defaults)
+    vq_cfg = vq_listener_defaults()
+
+    model = SpeakerSLMFT(slm_cfg, vq_cfg, vertice_dim=args.vertice_dim)
+
+    if args.synthetic:
+        from ..data.synthetic import synthetic_biwi_dataset, synthetic_vico_dataset
+
+        n_v = args.vertice_dim // 3
+        items, templates = synthetic_biwi_dataset(n_clips=4, length=16, n_vertices=n_v)
+        emoca_src = synthetic_vico_dataset(n_clips=4, min_len=16, max_len=16)
+        batches = []
+        for i, item in enumerate(items):
+            audio = np.random.default_rng(i).standard_normal((16, 768)).astype(np.float32)
+            batches.append((jnp.asarray(item["vertice"])[None],
+                            jnp.asarray(emoca_src[i][1][:16])[None],
+                            jnp.asarray(audio)[None],
+                            jnp.asarray(item["template"])[None],
+                            [item["name"]]))
+        mouth_map = list(range(min(100, n_v)))
+        upper_map = list(range(min(100, n_v), min(200, n_v)))
+    else:
+        raise SystemExit("real BIWI data loading requires the dataset mounted; "
+                         "run with --synthetic or provide paths")
+
+    b0 = batches[0]
+    mask0 = jnp.ones(b0[0].shape[:2], dtype=bool)
+    sids0 = speaker_ids_from_names(b0[4])
+    if args.checkpoint:
+        params = {"params": load_checkpoint(args.checkpoint)["params"]}
+    else:
+        params = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2],
+                            mask0, b0[3], sids0)
+        logger.warning("no --checkpoint given: evaluating random init")
+
+    fwd = jax.jit(lambda p, v, e, a, m, t, s: model.apply(
+        p, v, e, a, m, t, s).pred)
+
+    os.makedirs(os.path.join(args.out_dir, "gt"), exist_ok=True)
+    os.makedirs(os.path.join(args.out_dir, "pred"), exist_ok=True)
+    y_true, y_pred, names = [], [], []
+    for verts, emoca, audio, template, bnames in batches:
+        mask = jnp.ones(verts.shape[:2], dtype=bool)
+        sids = speaker_ids_from_names(bnames)
+        # NOTE: the reference's best-of-50 loop (x_engine_pt.py:319-336) calls
+        # the model with mode='train' - a DETERMINISTIC teacher-forced argmax
+        # decode - so all 50 "samples" are identical; one forward is exact.
+        pred = np.asarray(fwd(params, verts, emoca, audio, mask, template, sids))
+        gt = np.asarray(emoca)[:, 1:, :]
+        for j in range(verts.shape[0]):
+            y_pred.append(pred[j])
+            y_true.append(gt[j])
+            names.append(bnames[j])
+            np.save(os.path.join(args.out_dir, "gt", bnames[j].replace(".wav", ".npy")),
+                    gt[j])
+            np.save(os.path.join(args.out_dir, "pred", bnames[j].replace(".wav", ".npy")),
+                    best)
+    logger.info(f"wrote {len(y_pred)} clips to {args.out_dir}")
+    return y_true, y_pred, names
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Non-pretrained seq2seq listener training (reference: ``code/train_s2s.py``).
+
+Trains ListenerGenerator on ViCo with CE + continuous loss, tracking val
+perplexity (the reference's headline numbers: 41.47 no-pretrain / 28.3
+pretrained, train_s2s.py:286-287).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import listener_generator_defaults, vq_listener_defaults
+from ..engine.train_state import create_train_state
+from ..metrics.eval_utils import perplexity_from_logits
+from ..models.listener_generator import ListenerGenerator
+from ..utils.checkpoint import BestCheckpointKeeper
+from .common import get_parser, load_config, setup
+from .finetune_s2s_pretrain import make_loaders
+
+
+# ListenerGenerator freezes the full speaker VQ and the listener encoder+
+# quantizer (seq2seq.py:164-175)
+LG_FROZEN = ("speaker_vq/", "listener_vq/quantize", "listener_vq/encoder")
+
+
+def _batches(loader):
+    for collated in loader:
+        src, tgt, lens, mask, (sp, li), names = collated
+        yield (jnp.asarray(src[..., :56]), jnp.asarray(tgt), jnp.asarray(mask),
+               jnp.asarray(sp), jnp.asarray(li))
+
+
+def main(argv=None):
+    parser = get_parser("ListenerGenerator training")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--use-ids", action="store_true",
+                        help="condition on speaker/listener identity embeddings")
+    args = parser.parse_args(argv)
+    logger = setup(args)
+    cfg = load_config(args, listener_generator_defaults)
+    vq_cfg = vq_listener_defaults()
+
+    model = ListenerGenerator(cfg, vq_cfg, vq_cfg)
+    train_loader, val_loader = make_loaders(args, args.batch_size)
+    b0 = next(_batches(train_loader))
+    sp0, li0 = (b0[3], b0[4]) if args.use_ids else (None, None)
+    params = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2], sp0, li0)["params"]
+    state = create_train_state(model, params, args.lr, frozen_substrings=LG_FROZEN)
+
+    def loss_fn(p, batch, use_ids):
+        src, tgt, mask, sp, li = batch
+        out = model.apply({"params": p}, src, tgt, mask,
+                          sp if use_ids else None, li if use_ids else None)
+        return out.loss
+
+    @jax.jit
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, args.use_ids)
+        return state.apply_gradients(grads=grads), loss
+
+    keeper = BestCheckpointKeeper(args.save_path or "./runs_s2s/model")
+    epochs = cfg.get_or("epochs", 10)
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        for batch in _batches(train_loader):
+            state, loss = step(state, batch)
+        val_losses = [float(loss_fn(state.params, b, args.use_ids))
+                      for b in _batches(val_loader)]
+        val = float(np.mean(val_losses))
+        logger.info(f"Epoch {epoch}: train loss {float(loss):.4f} val loss {val:.4f}")
+        if keeper.update(val, state.params, epoch):
+            logger.info(f"Epoch {epoch}: new best val {val:.4f}")
+    return state, keeper
+
+
+if __name__ == "__main__":
+    main()

@@ -258,6 +258,7 @@ def slm_defaults() -> CfgNode:
         num_tokens=512,
         mask_ratio=0.15,
         contrastive_temp=0.05,
+        epochs=10,
         dtype="float32",
     ))
 
@@ -275,6 +276,7 @@ def listener_generator_defaults() -> CfgNode:
         dec_max_seq_len=1024,
         num_identities=100,
         id_embed_dim=256,
+        epochs=10,
         dtype="float32",
     ))
 

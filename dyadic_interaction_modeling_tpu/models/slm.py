@@ -130,6 +130,9 @@ class _SLMBase(CfgModule):
 
     def _make_stack(self, dec_use_abs_pos_emb: bool):
         c = self.cfg
+        assert c.num_tokens == self.vq_cfg.n_embed, (
+            f"decoder vocab ({c.num_tokens}) must equal the VQ codebook size "
+            f"({self.vq_cfg.n_embed}) - the decoder predicts VQ code indices")
         enc = dict(dim=c.dim, dim_out=c.dim, max_seq_len=c.enc_max_seq_len,
                    depth=c.enc_depth, heads=c.enc_heads, dtype=self.dtype)
         self.encoder_s = ContinuousTransformerWrapper(**enc)
