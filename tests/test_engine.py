@@ -47,7 +47,7 @@ def _tiny_slm_cfgs():
     slm_cfg = C.slm_defaults()
     slm_cfg.update(dict(dim=32, dim_audio=768, enc_depth=1, enc_heads=2,
                         dec_depth=1, dec_heads=2, enc_max_seq_len=64,
-                        dec_max_seq_len=64, num_tokens=24))
+                        dec_max_seq_len=64, num_tokens=32))  # == vq n_embed
     return slm_cfg, _tiny_vq_cfg()
 
 
