@@ -1,0 +1,271 @@
+"""FaceGenerator (reference: ``code/Pirender/generators/face_model.py`` +
+``base_function.py``).
+
+Architecture (all NHWC):
+
+* ``MappingNet``: 1-D convs over a coefficient window -> 256-d descriptor,
+  including the DIM modification's ``pre`` 1x1 conv 58 -> 73
+  (face_model.py:39-67),
+* ``WarpingNet``: ADAIN hourglass -> 2-ch flow -> bilinear warp
+  (face_model.py:71-105),
+* ``EditingNet``: FineEncoder over [input, warp] + ADAIN FineDecoder
+  (face_model.py:109-134).
+
+Reproduced quirks: ``FineADAINResBlock2d`` computes its second branch from
+``conv2(x)`` not ``conv2(dx)`` (base_function.py:344-347); UpBlock uses
+nearest x2 upsampling (torch F.interpolate default, base_function.py:295);
+LayerNorm2d normalises over (C, H, W) jointly with per-channel affine
+(base_function.py:11-29).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .flow import convert_flow_to_deformation, warp_image
+
+Array = jax.Array
+
+LRELU = lambda x: nn.leaky_relu(x, negative_slope=0.1)  # noqa: E731
+
+
+class LayerNorm2d(nn.Module):
+    """Normalise over (H, W, C) per sample; per-channel affine."""
+
+    n_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        w = self.param("weight", nn.initializers.ones, (self.n_out,))
+        b = self.param("bias", nn.initializers.zeros, (self.n_out,))
+        return h * w.astype(x.dtype) + b.astype(x.dtype)
+
+
+class ADAIN(nn.Module):
+    """Instance norm modulated by the descriptor (base_function.py:159-190)."""
+
+    norm_nc: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        normalized = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        z = z.reshape(z.shape[0], -1)
+        h = nn.relu(nn.Dense(128, dtype=self.dtype, name="mlp_shared")(z))
+        gamma = nn.Dense(self.norm_nc, dtype=self.dtype, name="mlp_gamma")(h)
+        beta = nn.Dense(self.norm_nc, dtype=self.dtype, name="mlp_beta")(h)
+        return normalized * (1 + gamma[:, None, None, :]) + beta[:, None, None, :]
+
+
+def _conv(features, kernel, stride=1, padding="SAME", name=None, dtype=jnp.float32):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=padding, dtype=dtype, name=name)
+
+
+class ADAINEncoderBlock(nn.Module):
+    out_nc: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        h = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_0")(x, z)
+        h = _conv(self.out_nc, 4, 2, ((1, 1), (1, 1)), "conv_0", self.dtype)(LRELU(h))
+        g = ADAIN(self.out_nc, dtype=self.dtype, name="norm_1")(h, z)
+        return _conv(self.out_nc, 3, 1, "SAME", "conv_1", self.dtype)(LRELU(g))
+
+
+class ADAINDecoderBlock(nn.Module):
+    out_nc: int
+    hidden_nc: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        # shortcut: ADAIN -> act -> transposed conv x2
+        s = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_s")(x, z)
+        s = nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
+                             dtype=self.dtype, name="conv_s")(LRELU(s))
+        h = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_0")(x, z)
+        h = _conv(self.hidden_nc, 3, 1, "SAME", "conv_0", self.dtype)(LRELU(h))
+        h = ADAIN(self.hidden_nc, dtype=self.dtype, name="norm_1")(h, z)
+        h = nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
+                             dtype=self.dtype, name="conv_1")(LRELU(h))
+        return s + h
+
+
+class ADAINHourglass(nn.Module):
+    """Encoder-decoder with skip concatenation (base_function.py:31-90)."""
+
+    image_nc: int = 3
+    ngf: int = 32
+    img_f: int = 256
+    encoder_layers: int = 5
+    decoder_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        h = _conv(self.ngf, 7, 1, "SAME", "input_layer", self.dtype)(x)
+        skips: List[Array] = [h]
+        for i in range(self.encoder_layers):
+            out_nc = min(self.ngf * (2 ** (i + 1)), self.img_f)
+            h = ADAINEncoderBlock(out_nc, dtype=self.dtype, name=f"encoder{i}")(h, z)
+            skips.append(h)
+        out = skips.pop()
+        for i in reversed(range(self.encoder_layers - self.decoder_layers,
+                                self.encoder_layers)):
+            out_nc = min(self.ngf * (2 ** i), self.img_f)
+            out = ADAINDecoderBlock(out_nc, out_nc, dtype=self.dtype,
+                                    name=f"decoder{i}")(out, z)
+            out = jnp.concatenate([out, skips.pop()], axis=-1)
+        return out
+
+
+class MappingNet(nn.Module):
+    """Coefficient window -> descriptor (face_model.py:39-67).
+
+    input: (B, coeff_nc, T); 'pre' 1x1 conv (the DIM 58->73 modification is
+    active when flame_coeff_nc != coeff_nc), k=7 'first' conv (VALID), then
+    ``layer`` dilation-3 k=3 convs with residual crops, adaptive mean pool.
+    """
+
+    flame_coeff_nc: int = 58
+    coeff_nc: int = 73
+    descriptor_nc: int = 256
+    layer: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, coeffs: Array) -> Array:
+        min_t = 7 + 6 * self.layer  # k=7 VALID + layer x (k=3, dilation 3)
+        assert coeffs.shape[-1] >= min_t, (
+            f"MappingNet window length {coeffs.shape[-1]} < {min_t}: the VALID "
+            f"convolutions need semantic_radius >= {(min_t - 1) // 2} "
+            f"(the reference's shipped semantic_radius=1 config would crash "
+            f"its own MappingNet the same way)")
+        h = jnp.transpose(coeffs, (0, 2, 1))  # (B, T, C)
+        h = nn.Conv(self.coeff_nc, (1,), padding="VALID", dtype=self.dtype,
+                    name="pre")(h)
+        h = nn.Conv(self.descriptor_nc, (7,), padding="VALID", dtype=self.dtype,
+                    name="first")(h)
+        for i in range(self.layer):
+            d = nn.Conv(self.descriptor_nc, (3,), padding="VALID",
+                        kernel_dilation=(3,), dtype=self.dtype,
+                        name=f"encoder{i}")(LRELU(h))
+            h = d + h[:, 3:-3]
+        return jnp.mean(h, axis=1)  # adaptive avg pool over time -> (B, 256)
+
+
+class WarpingNet(nn.Module):
+    descriptor_nc: int = 256
+    base_nc: int = 32
+    max_nc: int = 256
+    encoder_layer: int = 5
+    decoder_layer: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_image: Array, descriptor: Array) -> Dict[str, Array]:
+        h = ADAINHourglass(input_image.shape[-1], self.base_nc, self.max_nc,
+                           self.encoder_layer, self.decoder_layer,
+                           dtype=self.dtype, name="hourglass")(input_image, descriptor)
+        h = LayerNorm2d(h.shape[-1], dtype=self.dtype, name="flow_norm")(h)
+        flow = _conv(2, 7, 1, "SAME", "flow_conv", self.dtype)(LRELU(h))
+        deformation = convert_flow_to_deformation(flow)
+        return {"flow_field": flow,
+                "warp_image": warp_image(input_image, deformation)}
+
+
+class FineADAINResBlock(nn.Module):
+    """QUIRK kept: second branch reads conv2(x), not conv2(dx)
+    (base_function.py:344-348)."""
+
+    nc: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, z: Array) -> Array:
+        dx = _conv(self.nc, 3, 1, "SAME", "conv1", self.dtype)(x)
+        dx = LRELU(ADAIN(self.nc, dtype=self.dtype, name="norm1")(dx, z))
+        dx = ADAIN(self.nc, dtype=self.dtype, name="norm2")(
+            _conv(self.nc, 3, 1, "SAME", "conv2", self.dtype)(x), z)
+        return dx + x
+
+
+class EditingNet(nn.Module):
+    descriptor_nc: int = 256
+    layer: int = 3
+    base_nc: int = 64
+    max_nc: int = 256
+    num_res_blocks: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_image: Array, warp_image: Array,
+                 descriptor: Array) -> Array:
+        x = jnp.concatenate([input_image, warp_image], axis=-1)
+        # FineEncoder (base_function.py:193-213)
+        h = _conv(self.base_nc, 7, 1, "SAME", "enc_first", self.dtype)(x)
+        h = LRELU(LayerNorm2d(self.base_nc, dtype=self.dtype, name="enc_first_norm")(h))
+        skips = [h]
+        for i in range(self.layer):
+            out_nc = min(self.base_nc * (2 ** (i + 1)), self.max_nc)
+            h = _conv(out_nc, 3, 1, "SAME", f"down{i}", self.dtype)(h)
+            h = LRELU(LayerNorm2d(out_nc, dtype=self.dtype, name=f"down{i}_norm")(h))
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            skips.append(h)
+        # FineDecoder (base_function.py:215-245)
+        out = skips.pop()
+        for i in reversed(range(self.layer)):
+            out_nc = min(self.base_nc * (2 ** i), self.max_nc)
+            for r in range(self.num_res_blocks):
+                out = FineADAINResBlock(out.shape[-1], dtype=self.dtype,
+                                        name=f"res{i}_{r}")(out, descriptor)
+            b, hh, ww, cc = out.shape
+            out = jax.image.resize(out, (b, hh * 2, ww * 2, cc), method="nearest")
+            out = _conv(out_nc, 3, 1, "SAME", f"up{i}", self.dtype)(out)
+            out = LRELU(LayerNorm2d(out_nc, dtype=self.dtype, name=f"up{i}_norm")(out))
+            skip = skips.pop()
+            skip = _conv(skip.shape[-1], 3, 1, "SAME", f"jump{i}", self.dtype)(skip)
+            skip = LRELU(LayerNorm2d(skip.shape[-1], dtype=self.dtype,
+                                     name=f"jump{i}_norm")(skip))
+            out = out + skip
+        out = _conv(input_image.shape[-1], 7, 1, "SAME", "final", self.dtype)(out)
+        return jnp.tanh(out)
+
+
+class FaceGenerator(nn.Module):
+    """mapping -> warping -> editing (face_model.py:15-35)."""
+
+    flame_coeff_nc: int = 58
+    coeff_nc: int = 73
+    descriptor_nc: int = 256
+    mapping_layers: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.mapping_net = MappingNet(self.flame_coeff_nc, self.coeff_nc,
+                                      self.descriptor_nc, self.mapping_layers,
+                                      dtype=self.dtype)
+        self.warpping_net = WarpingNet(self.descriptor_nc, dtype=self.dtype)
+        self.editing_net = EditingNet(self.descriptor_nc, dtype=self.dtype)
+
+    def __call__(self, input_image: Array, driving_source: Array,
+                 stage: Optional[str] = None) -> Dict[str, Array]:
+        """input_image (B, H, W, 3); driving_source (B, coeff_nc, T_window)."""
+        descriptor = self.mapping_net(driving_source)
+        output = dict(self.warpping_net(input_image, descriptor))
+        if stage != "warp":
+            output["fake_image"] = self.editing_net(
+                input_image, output["warp_image"], descriptor)
+        return output

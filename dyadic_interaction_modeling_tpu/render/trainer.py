@@ -1,0 +1,184 @@
+"""PIRender trainer (reference: ``code/Pirender/trainers/face_trainer.py`` +
+``trainers/base.py`` + ``util/trainer.py``).
+
+Semantics reproduced:
+
+* symmetric batch: the model renders source->target AND target->source in one
+  step (face_trainer.py:56-62),
+* two-stage schedule: warp-only perceptual loss until
+  ``pretrain_warp_iteration``, then warp (2.5x) + final (4x, style 250)
+  losses with a FRESH optimizer (face_trainer.py:91-100),
+* EMA generator with decay 0.5 ** (32 / 10000) (face_trainer.py:24-26,
+  util/trainer.py:12-16),
+* step LR schedule (config/face.yaml:17-26: step 300k, gamma 0.2),
+* checkpoints with a ``latest_checkpoint.txt`` pointer + auto-resume
+  (trainers/base.py:200-286) and the 2-hour wall-clock limit
+  (train.py:90-110).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import get_logger
+from .generator import FaceGenerator
+from .perceptual import PerceptualLoss
+
+EMA_DECAY = 0.5 ** (32 / (10 * 1000))
+
+
+def ema_update(ema_params, params, decay: float = EMA_DECAY):
+    """util/trainer.accumulate: ema = decay * ema + (1 - decay) * params."""
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)
+
+
+def make_lr_schedule(base_lr: float = 1e-4, step_size: int = 300_000,
+                     gamma: float = 0.2) -> optax.Schedule:
+    return lambda count: base_lr * gamma ** (count // step_size)
+
+
+class FaceTrainer:
+    """Two-stage generator trainer."""
+
+    def __init__(self, model: FaceGenerator, params,
+                 *,
+                 pretrain_warp_iteration: int = 1,
+                 weight_perceptual_warp: float = 2.5,
+                 weight_perceptual_final: float = 4.0,
+                 base_lr: float = 1e-4,
+                 lr_step: int = 300_000,
+                 lr_gamma: float = 0.2,
+                 vgg_params: Optional[Dict] = None,
+                 perceptual_network: str = "vgg19",
+                 save_dir: str = "./runs_pirender",
+                 max_seconds: float = 2 * 3600,
+                 logger=None):
+        self.model = model
+        self.params = params["params"] if "params" in params else params
+        self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+        self.pretrain_warp_iteration = pretrain_warp_iteration
+        self.weights = {"warp": weight_perceptual_warp,
+                        "final": weight_perceptual_final}
+        self.tx = optax.adam(make_lr_schedule(base_lr, lr_step, lr_gamma),
+                             b1=0.5, b2=0.999)
+        self.opt_state = self.tx.init(self.params)
+        self.iteration = 0
+        self.epoch = 0
+        self.save_dir = save_dir
+        self.max_seconds = max_seconds
+        self.logger = logger or get_logger()
+        self.perc_warp = PerceptualLoss(num_scales=4, network=perceptual_network,
+                                        vgg_params=vgg_params)
+        self.perc_final = PerceptualLoss(num_scales=4, use_style_loss=True,
+                                         weight_style_to_perceptual=250.0,
+                                         network=perceptual_network,
+                                         vgg_params=vgg_params)
+        self._steps = {}
+
+    # --- jitted steps (one per stage) ---
+
+    def _make_step(self, stage: str) -> Callable:
+        model, perc_warp, perc_final = self.model, self.perc_warp, self.perc_final
+        weights = self.weights
+
+        def loss_fn(params, input_image, input_semantic, gt_image):
+            out = model.apply({"params": params}, input_image, input_semantic,
+                              stage)
+            losses = {}
+            losses["perceptual_warp"] = weights["warp"] * perc_warp(
+                out["warp_image"], gt_image)
+            if stage != "warp":
+                losses["perceptual_final"] = weights["final"] * perc_final(
+                    out["fake_image"], gt_image)
+            total = sum(losses.values())
+            losses["total_loss"] = total
+            return total, losses
+
+        @jax.jit
+        def step(params, opt_state, ema_params, input_image, input_semantic,
+                 gt_image):
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, input_image, input_semantic, gt_image)
+            updates, opt_state = self.tx.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            ema_params = ema_update(ema_params, params)
+            return params, opt_state, ema_params, losses
+
+        return step
+
+    def training_stage(self) -> str:
+        return "gen" if self.iteration >= self.pretrain_warp_iteration else "warp"
+
+    def optimize_parameters(self, data: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+        """One step on a dict with source/target images (B,H,W,3) and
+        semantics (B,C,T) - the symmetric both-directions batch."""
+        if self.iteration == self.pretrain_warp_iteration:
+            # stage switch: fresh optimizer (face_trainer.py:97-100)
+            self.opt_state = self.tx.init(self.params)
+        stage = self.training_stage()
+        if stage not in self._steps:
+            self._steps[stage] = self._make_step(stage)
+        input_image = jnp.concatenate([data["source_image"], data["target_image"]], 0)
+        input_semantic = jnp.concatenate([data["target_semantics"],
+                                          data["source_semantics"]], 0)
+        gt_image = jnp.concatenate([data["target_image"], data["source_image"]], 0)
+        self.params, self.opt_state, self.ema_params, losses = self._steps[stage](
+            self.params, self.opt_state, self.ema_params,
+            input_image, input_semantic, gt_image)
+        self.iteration += 1
+        return {k: float(v) for k, v in losses.items()}
+
+    # --- checkpointing (trainers/base.py:200-286, 672) ---
+
+    def save(self) -> str:
+        path = save_checkpoint(
+            {"net_G": self.params, "net_G_ema": self.ema_params},
+            self.save_dir, step=self.iteration,
+            extra={"meta": {"epoch": self.epoch, "iteration": self.iteration}})
+        with open(os.path.join(self.save_dir, "latest_checkpoint.txt"), "w") as f:
+            f.write(os.path.basename(path))
+        return path
+
+    def load_latest(self) -> bool:
+        pointer = os.path.join(self.save_dir, "latest_checkpoint.txt")
+        if not os.path.exists(pointer):
+            return False
+        with open(pointer) as f:
+            name = f.read().strip()
+        payload = load_checkpoint(os.path.join(self.save_dir, name))
+        self.params = payload["params"]["net_G"]
+        self.ema_params = payload["params"]["net_G_ema"]
+        meta = payload.get("meta", {})
+        self.epoch = int(meta.get("epoch", 0))
+        self.iteration = int(meta.get("iteration", 0))
+        self.opt_state = self.tx.init(self.params)
+        return True
+
+    def train(self, loader: Iterable, max_epochs: int = 1,
+              snapshot_iter: int = 625, logging_iter: int = 100) -> None:
+        """Epoch loop with the reference's 2-hour launch limit
+        (train.py:90-110)."""
+        t0 = time.time()
+        for epoch in range(self.epoch, max_epochs):
+            self.epoch = epoch
+            for data in loader:
+                losses = self.optimize_parameters(data)
+                if self.iteration % logging_iter == 0:
+                    msg = " ".join(f"{k} {v:.4f}" for k, v in losses.items())
+                    self.logger.info(f"epoch {epoch} iter {self.iteration}: {msg}")
+                if self.iteration % snapshot_iter == 0:
+                    self.save()
+                if time.time() - t0 > self.max_seconds:
+                    self.logger.info("wall-clock limit reached; checkpointing")
+                    self.save()
+                    return
+        self.save()
