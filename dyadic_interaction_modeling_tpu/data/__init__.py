@@ -8,6 +8,7 @@ from .datasets import (
     CandorSpeakerDataset,
     LmListenerDataset,
     BiwiDataset,
+    BiwiEmocaDataset,
 )
 from .synthetic import (
     synthetic_vico_clip,
@@ -28,6 +29,7 @@ __all__ = [
     "CandorSpeakerDataset",
     "LmListenerDataset",
     "BiwiDataset",
+    "BiwiEmocaDataset",
     "synthetic_vico_clip",
     "synthetic_vico_dataset",
     "synthetic_candor_dataset",

@@ -174,27 +174,51 @@ class CandorSpeakerDataset(CandorListenerDataset):
     pass
 
 
-class LmListenerDataset:
-    """LM-Listener segments (data_loader.py:208-245): pose+exp concat,
-    zero 768-d audio, clips >= 24 frames, 1024-frame chunking."""
+def _interp_to_length(array: np.ndarray, new_t: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=True) over time
+    (l2l.py:23-29 / biwi.py:37-43 ``downsample_mean``)."""
+    t = array.shape[0]
+    if t == new_t:
+        return np.asarray(array, np.float32)
+    pos = np.linspace(0.0, t - 1.0, new_t)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, t - 1)
+    w = (pos - lo)[:, None]
+    return (array[lo] * (1 - w) + array[hi] * w).astype(np.float32)
 
-    def __init__(self, data_path: str, mode: str = "train", chunk: int = 1024):
+
+class LmListenerDataset:
+    """LM-Listener segments (data_loader.py:208-245 + l2l.py:31-76):
+    pose+exp concat, precomputed ``hubert_feat`` audio (interpolated to the
+    motion length) or zero 768-d audio, clips >= 24 frames, 1024-frame
+    chunking."""
+
+    def __init__(self, data_path: str, mode: str = "train", chunk: int = 1024,
+                 use_hubert: bool = True):
         import torch
 
         payload = torch.load(os.path.join(data_path, f"segments_{mode}.pth"),
                              map_location="cpu", weights_only=False)
         self.data = []
         for item in payload:
+            if use_hubert and "hubert_feat" in item:
+                s, e = item.get("split_start_time"), item.get("split_end_time")
+                if s is not None and s == e:
+                    continue  # l2l.py:41-43
+                item = dict(item)
+                item["hubert_feat"] = _interp_to_length(
+                    np.asarray(item["hubert_feat"]), len(item["p0_exp"]))
             if len(item["p0_exp"]) != len(item["p1_exp"]) or len(item["p0_exp"]) < 24:
                 continue
             if len(item["p0_exp"]) < chunk:
                 self.data.append(item)
             else:
                 n = len(item["p0_exp"]) // chunk
+                keys = ("p0_exp", "p1_exp", "p0_pose", "p1_pose") + (
+                    ("hubert_feat",) if "hubert_feat" in item else ())
                 for j in range(n):
                     self.data.append({
-                        k: item[k][j * chunk: (j + 1) * chunk]
-                        for k in ("p0_exp", "p1_exp", "p0_pose", "p1_pose")
+                        k: item[k][j * chunk: (j + 1) * chunk] for k in keys
                     } | {"fname": item["fname"]})
 
     def __len__(self):
@@ -206,9 +230,38 @@ class LmListenerDataset:
                              np.asarray(it["p1_exp"], np.float32)], axis=1)
         li = np.concatenate([np.asarray(it["p0_pose"], np.float32),
                              np.asarray(it["p0_exp"], np.float32)], axis=1)
-        audio = np.zeros((sp.shape[0], 768), dtype=np.float32)
+        if "hubert_feat" in it:
+            audio = np.asarray(it["hubert_feat"], np.float32)
+        else:
+            audio = np.zeros((sp.shape[0], 768), dtype=np.float32)
         combined = np.concatenate([sp, audio], axis=1)
         return combined, li, it["fname"]
+
+
+class BiwiEmocaDataset:
+    """BIWI speaker items (reference ``dataset/biwi.py:45-66``): audio features
+    linearly interpolated to the vertex-frame count, raw vertices, template,
+    EMOCA coefficients, name. Items carry precomputed 768-d audio features
+    (models.hubert extracts them on the fly when absent)."""
+
+    def __init__(self, items: Sequence[Dict], data_type: str = "train",
+                 read_audio: bool = True):
+        self.items = list(items)
+        self.data_type = data_type
+        self.read_audio = read_audio
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, index: int):
+        d = self.items[index]
+        vertice = np.asarray(d["vertice"], np.float32)
+        template = np.asarray(d["template"], np.float32)
+        emoca = np.asarray(d["emoca"], np.float32)
+        if self.read_audio:
+            audio = _interp_to_length(np.asarray(d["audio"]), vertice.shape[0])
+            return audio, vertice, template, emoca, d["name"]
+        return vertice, template, emoca, d["name"]
 
 
 BIWI_SPLITS = {
