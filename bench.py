@@ -26,7 +26,7 @@ enable_persistent_cache()
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
-B, L = 64, 256  # bench batch: 64 clips x 256 frames (~8.5 s each at 30 fps)
+B, L = 256, 256  # bench batch: e.g. 25 clips x best-of-10 sampling, 256 frames each
 
 
 def _make_model(dtype=None):
@@ -76,16 +76,21 @@ def measure_tpu_throughput(model, slm_cfg, params) -> float:
 
     import numpy as np
 
+    import jax.numpy as jnp
+
     gen = make_slmft_generator(model, slm_cfg, L)
+    fenced = jax.jit(lambda p, b, r, n: jnp.sum(
+        gen(p, b, r, n).astype(jnp.float32)), static_argnums=(3,))
     batch = _batch(B, L)
     rng = jax.random.PRNGKey(3)
-    np.asarray(gen(params, batch, rng, 1))  # compile
-    # NOTE: on the axon TPU platform block_until_ready returns early; a full
-    # device_get is the only reliable fence (transfer is ~0.5 MB, negligible).
+    # NOTE (axon platform): block_until_ready returns early AND device_get of
+    # large outputs crawls over the tunnel (~20 MB/s) - fence by reducing to a
+    # scalar ON DEVICE and transferring 4 bytes.
+    float(fenced(params, batch, rng, 1))  # compile
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        out = np.asarray(gen(params, batch, jax.random.fold_in(rng, i), 1))
+        s = float(fenced(params, batch, jax.random.fold_in(rng, i), 1))
     dt = (time.perf_counter() - t0) / iters
     return B * (L - 1) / dt
 
