@@ -394,6 +394,29 @@ def ar_cross_entropy(logits: Array, targets: Array, ignore_index: int = -100) ->
     return jnp.sum(nll * keep) / jnp.maximum(jnp.sum(keep), 1.0)
 
 
+def dropout_seq(rng: jax.Array, seq: Array, mask: Optional[Array],
+                dropout: float) -> Tuple[Array, Array]:
+    """Cross-attention token dropout (reference x_utils.py:32-62):
+    keep a random (1 - dropout) fraction of context positions per row,
+    gathering kept tokens to the front and shrinking the mask.
+
+    Used when ``cross_attn_tokens_dropout > 0`` during training
+    (seq2seq.py:63-64); the reference ships with 0.
+    """
+    b, n, _ = seq.shape
+    if mask is None:
+        mask = jnp.ones((b, n), dtype=bool)
+    num_keep = max(1, int((1.0 - dropout) * n))
+    logits = jax.random.uniform(rng, (b, n))
+    # prefer valid positions: invalid get -inf priority
+    logits = jnp.where(mask, logits, -jnp.inf)
+    keep_idx = jax.lax.top_k(logits, num_keep)[1]  # (B, num_keep)
+    batch_idx = jnp.arange(b)[:, None]
+    new_seq = seq[batch_idx, keep_idx]
+    new_mask = mask[batch_idx, keep_idx]
+    return new_seq, new_mask
+
+
 def top_k_filter(logits: Array, frac_num_tokens: float = 0.1) -> Array:
     """x-transformers ``top_k``: keep ceil(frac * vocab) best logits."""
     k = max(1, math.ceil(frac_num_tokens * logits.shape[-1]))

@@ -123,3 +123,15 @@ def test_generate_sampling_reproducible_and_in_range():
     np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
     assert (np.asarray(g1) >= 0).all() and (np.asarray(g1) < 16).all()
     assert not np.array_equal(np.asarray(g1), np.asarray(g3))  # different key, different sample
+
+
+def test_dropout_seq():
+    from dyadic_interaction_modeling_tpu.models.xtrans import dropout_seq
+
+    seq = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 4))
+    mask = jnp.ones((2, 10), dtype=bool).at[1, 6:].set(False)
+    new_seq, new_mask = dropout_seq(jax.random.PRNGKey(1), seq, mask, 0.3)
+    assert new_seq.shape == (2, 7, 4)
+    assert new_mask.shape == (2, 7)
+    assert bool(new_mask[0].all())      # row 0 had 10 valid -> all 7 kept valid
+    assert int(new_mask[1].sum()) == 6  # row 1 had only 6 valid positions
