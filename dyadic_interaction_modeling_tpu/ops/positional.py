@@ -181,6 +181,24 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = Fa
     return pos_embed
 
 
+def interpolate_pos_embed(pos_embed: np.ndarray, new_grid_size: int,
+                          num_extra_tokens: int = 1) -> np.ndarray:
+    """Bicubic-resize a 2D sin-cos/learned position table to a new grid size
+    (pos_embed.py:92-111). pos_embed: (extra + g*g, dim)."""
+    from scipy.ndimage import zoom
+
+    dim = pos_embed.shape[-1]
+    extra = pos_embed[:num_extra_tokens]
+    grid = pos_embed[num_extra_tokens:]
+    old = int(math.sqrt(grid.shape[0]))
+    if old == new_grid_size:
+        return pos_embed
+    grid = grid.reshape(old, old, dim)
+    factor = new_grid_size / old
+    grid = zoom(grid, (factor, factor, 1), order=3)
+    return np.concatenate([extra, grid.reshape(-1, dim)], axis=0)
+
+
 def length_mask(lengths: Array, max_len: int) -> Array:
     """Boolean (B, max_len): True where position < length.
 

@@ -189,3 +189,63 @@ class LinearEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return nn.Dense(self.dim, dtype=self.dtype, name="net")(x)
+
+
+class AudioEmbedding(nn.Module):
+    """Audio max-pool squasher + projection (base_models.py:213-246, 'v6').
+
+    Input (B, C, L) like the reference: MaxPool1d(4) then ``quant_factor``
+    MaxPool1d(2) stages over time, then a linear projection C -> dim.
+    """
+
+    size: int
+    dim: int
+    quant_factor: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from .convseq import max_pool_time
+
+        h = jnp.transpose(x, (0, 2, 1))  # (B, L, C)
+        h = max_pool_time(h, 4)
+        for _ in range(max(self.quant_factor, 1)):
+            h = max_pool_time(h, 2)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="proj")(h)
+        return jnp.transpose(h, (0, 2, 1))
+
+
+class CrossModalLayer(nn.Module):
+    """FACT-style cross-modal layer (base_models.py:276-328): concat the two
+    modality sequences, learned position embedding, transformer, layernorm,
+    unbiased output projection."""
+
+    in_dim: int
+    out_dim: int
+    sequence_length: int
+    num_hidden_layers: int = 2
+    num_attention_heads: int = 8
+    intermediate_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, modal_a: Array, modal_b: Optional[Array] = None,
+                 mask: Optional[Array] = None) -> Array:
+        merged = modal_a
+        if modal_b is not None:
+            assert modal_a.shape[-1] == modal_b.shape[-1], (
+                "modal_a/modal_b hidden sizes must match (base_models.py:317-320)")
+            merged = jnp.concatenate([modal_a, modal_b], axis=1)
+        pos = self.param("pos_embedding", nn.initializers.zeros,
+                         (self.sequence_length, self.in_dim))
+        merged = merged + pos[None, : merged.shape[1]].astype(merged.dtype)
+        merged = Transformer(
+            hidden_size=self.in_dim,
+            num_hidden_layers=self.num_hidden_layers,
+            num_attention_heads=self.num_attention_heads,
+            intermediate_size=self.intermediate_size,
+            dtype=self.dtype, name="transformer_layer")(merged, mask=mask)
+        merged = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name="cross_norm_layer")(merged)
+        return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                        name="cross_output_layer")(merged)

@@ -149,3 +149,32 @@ def test_length_mask():
     m = np.asarray(length_mask(jnp.array([2, 5]), 6))
     assert m[0].tolist() == [True, True, False, False, False, False]
     assert m[1].tolist() == [True] * 5 + [False]
+
+
+def test_audio_embedding_and_crossmodal_layer():
+    from dyadic_interaction_modeling_tpu.ops.transformer import AudioEmbedding, CrossModalLayer
+
+    ae = AudioEmbedding(size=16, dim=8, quant_factor=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))  # (B, C, L)
+    p = ae.init(jax.random.PRNGKey(1), x)
+    y = ae.apply(p, x)
+    assert y.shape == (2, 8, 8)  # L: 64 /4 /2 = 8; C -> dim
+
+    cm = CrossModalLayer(in_dim=16, out_dim=5, sequence_length=32)
+    a = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 16))
+    b = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 16))
+    p = cm.init(jax.random.PRNGKey(4), a, b)
+    out = cm.apply(p, a, b)
+    assert out.shape == (2, 12, 5)
+
+
+def test_interpolate_pos_embed():
+    from dyadic_interaction_modeling_tpu.ops.positional import (
+        get_2d_sincos_pos_embed,
+        interpolate_pos_embed,
+    )
+
+    pe = get_2d_sincos_pos_embed(16, 4, cls_token=True)  # (1+16, 16)
+    out = interpolate_pos_embed(pe, 8)
+    assert out.shape == (1 + 64, 16)
+    np.testing.assert_allclose(out[0], pe[0])  # cls token untouched

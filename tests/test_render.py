@@ -179,3 +179,15 @@ def test_render_inference_roundtrip(tmp_path):
     import os
 
     assert len(os.listdir(tmp_path / "rendered" / "fake")) == 12
+
+
+def test_perceptual_distance_lpips_style():
+    from dyadic_interaction_modeling_tpu.render.metrics import PerceptualDistance
+
+    d = PerceptualDistance(rng=jax.random.PRNGKey(0))
+    a = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), minval=-1, maxval=1)
+    b = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3), minval=-1, maxval=1)
+    daa = np.asarray(d(a, a))
+    dab = np.asarray(d(a, b))
+    assert daa.shape == (2,)
+    assert (daa < 1e-6).all() and (dab > daa).all()
