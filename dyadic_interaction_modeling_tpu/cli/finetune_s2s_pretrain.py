@@ -51,12 +51,16 @@ def main(argv=None):
     parser.add_argument("--listener-vq", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
     logger = setup(args)
     slm_cfg = load_config(args, slm_defaults)
     vq_cfg = vq_cfg_for(slm_cfg, args.synthetic)
 
-    model = SLMFT(slm_cfg, vq_cfg)
+    import jax.numpy as jnp
+
+    model = SLMFT(slm_cfg, vq_cfg, dtype=getattr(jnp, args.dtype))
     train_loader, val_loader = make_loaders(args, args.batch_size)
     rng = jax.random.PRNGKey(0)
     batch0 = next(_batches(train_loader))

@@ -61,12 +61,16 @@ def main(argv=None):
     parser.add_argument("--listener-vq", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
     logger = setup(args)
     slm_cfg = load_config(args, slm_defaults)
     vq_cfg = vq_cfg_for(slm_cfg, args.synthetic)
 
-    model = SLM(slm_cfg, vq_cfg)
+    import jax.numpy as jnp
+
+    model = SLM(slm_cfg, vq_cfg, dtype=getattr(jnp, args.dtype))
     train_loader, val_loader = make_loaders(args, args.batch_size)
     batch0 = next(_slm_batches(train_loader))
     rng = jax.random.PRNGKey(0)

@@ -161,6 +161,37 @@ def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int) -> Callable:
     return jax.jit(generate, static_argnums=(3,))
 
 
+def make_speaker_generator(model, slm_cfg, max_len: int) -> Callable:
+    """Batched AR generator for SpeakerSLMFT (the sampled alternative to the
+    reference's degenerate teacher-forced beam loop, x_engine_pt.py:319-336).
+
+    (params, (verts, emoca, audio, mask, template, speaker_ids), rng, n)
+    -> (B, N, max_len-1, 56) candidate EMOCA sequences.
+    """
+    from ..models.slm import SpeakerSLMFT
+
+    decoder = TokenDecoder(
+        num_tokens=slm_cfg.num_tokens, dim=slm_cfg.dim + slm_cfg.dim_audio,
+        max_seq_len=slm_cfg.dec_max_seq_len, depth=slm_cfg.dec_depth,
+        heads=slm_cfg.dec_heads, use_abs_pos_emb=True, dtype=model.dtype)
+
+    def generate(params, batch, rng, n_samples: int):
+        verts, emoca, audio, mask, template, sids = batch
+        b, l = verts.shape[0], verts.shape[1]
+        ctx, prompt = model.apply({"params": params}, verts, emoca, audio,
+                                  mask, template, sids,
+                                  method=SpeakerSLMFT.encode_context)
+        tokens = generate_tokens(
+            decoder, {"params": params["decoder_joint"]},
+            jnp.tile(prompt, (n_samples, 1)), l - 1,
+            jnp.tile(ctx, (n_samples, 1, 1)), jnp.tile(mask, (n_samples, 1)), rng)
+        emoca_out = model.apply({"params": params}, tokens, False,
+                                method=SpeakerSLMFT.decode_emoca)[1]
+        return emoca_out.reshape(n_samples, b, l - 1, -1).transpose(1, 0, 2, 3)
+
+    return jax.jit(generate, static_argnums=(3,))
+
+
 def select_best_by_fd(candidates: np.ndarray, target: np.ndarray) -> np.ndarray:
     """Pick the candidate with the lowest Frechet distance to the target clip
     (x_engine_pt.py:258-268). candidates: (N, T, C); target: (T, C)."""

@@ -146,3 +146,31 @@ def test_emoca_converter_forward():
     out = model.apply(params, template, emoca)
     assert out.shape == (2, 9, 120)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_speaker_generator_batched_best_of_n():
+    from dyadic_interaction_modeling_tpu.engine.pt_engine import (
+        make_speaker_generator,
+        select_best_by_l2,
+    )
+
+    slm_cfg, vq_cfg = _tiny_cfgs()
+    slm_cfg.dim_audio = 16
+    vdim = 300
+    model = SpeakerSLMFT(slm_cfg, vq_cfg, vertice_dim=vdim)
+    b, l = 2, 10
+    verts = jax.random.normal(jax.random.PRNGKey(0), (b, l, vdim))
+    emoca = jax.random.normal(jax.random.PRNGKey(1), (b, l, 56))
+    audio = jax.random.normal(jax.random.PRNGKey(2), (b, l, 16))
+    template = jax.random.normal(jax.random.PRNGKey(3), (b, vdim))
+    mask = jnp.ones((b, l), dtype=bool)
+    sids = jnp.array([3, 7])
+    params = model.init(jax.random.PRNGKey(4), verts, emoca, audio, mask,
+                        template, sids)["params"]
+    gen = make_speaker_generator(model, slm_cfg, l)
+    cands = np.asarray(gen(params, (verts, emoca, audio, mask, template, sids),
+                           jax.random.PRNGKey(5), 3))
+    assert cands.shape == (b, 3, l - 1, 56)
+    assert np.isfinite(cands).all()
+    best = select_best_by_l2(cands[0], np.asarray(emoca)[0, 1:])
+    assert best.shape == (l - 1, 56)
