@@ -39,6 +39,24 @@ Array = jax.Array
 NEG_INF = float("-inf")
 
 
+def _use_flash(kv_len: int, dim_head: int) -> bool:
+    """Dispatch to the Pallas fused attention when it wins: TPU backend,
+    no-pad head dims, L large enough to matter, and within the backward
+    kernel's VMEM budget (L <= 1024)."""
+    import os
+
+    if os.environ.get("DIM_TPU_FLASH", "1") == "0":
+        return False
+    # measured on v5e: at L=256 the fused kernel's fixed overhead loses to
+    # XLA's dense path (245 vs 208 ms SLM step); at L>=512 it wins decisively
+    # (the masked dense softmax degrades to seconds at L=1024).
+    if dim_head not in (64, 128) or not (512 <= kv_len <= 1024):
+        return False
+    from ..ops.pallas.attention import flash_available
+
+    return flash_available()
+
+
 # ---------------------------------------------------------------------------
 # layers
 # ---------------------------------------------------------------------------
@@ -76,6 +94,16 @@ class XAttention(nn.Module):
         k = self._split(self._proj(kv_src, "to_k"))
         v = self._split(self._proj(kv_src, "to_v"))
         scale = self.dim_head ** -0.5
+        if attn_mask is None and _use_flash(k.shape[2], self.dim_head):
+            # fused Pallas attention: the XLA masked-softmax path degrades
+            # badly at long L on this platform (measured 1646x at L=1024)
+            from ..ops.pallas.attention import flash_attention
+
+            out = flash_attention(q, k, v, key_mask=key_mask,
+                                  causal=self.causal, scale=scale)
+            b, h, n, d = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+            return self.to_out(out)
         dots = jnp.einsum("bhid,bhjd->bhij", q, k,
                           preferred_element_type=jnp.float32) * scale
         lq, lk = dots.shape[-2], dots.shape[-1]
