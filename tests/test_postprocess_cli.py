@@ -88,3 +88,23 @@ def test_cli_train_s2s_pretrain_synthetic_smoke():
         "dec_heads", "2", "num_tokens", "24",
     ])
     assert keeper.best is not None and np.isfinite(keeper.best)
+
+
+def test_cli_train_stage2_synthetic_smoke():
+    from dyadic_interaction_modeling_tpu.cli import train_stage2
+
+    state, keeper = train_stage2.main([
+        "--synthetic", "--epochs", "1", "--w2v-layers", "1",
+        "--save-path", "/tmp/test_stage2_ckpt",
+        "hidden_size", "32", "num_hidden_layers", "1", "num_attention_heads", "2",
+        "intermediate_size", "64", "zquant_dim", "16", "n_embed", "24",
+        "feature_dim", "32", "vertice_dim", "300", "in_dim", "300",
+        "n_head", "2", "num_layers", "1", "period", "5",
+    ])
+    assert keeper.best is not None and np.isfinite(keeper.best)
+    # frozen: wav2vec2 conv extractor stays at init
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(
+        state.params["audio_encoder"]["feature_extractor"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
