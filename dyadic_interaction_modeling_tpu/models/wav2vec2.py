@@ -132,8 +132,7 @@ class ConvLayer(nn.Module):
                        (self.kernel, x.shape[-1], self.dim))
         x = jax.lax.conv_general_dilated(
             x, w.astype(self.dtype), (self.stride,), "VALID",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32).astype(self.dtype)
+            dimension_numbers=("NWC", "WIO", "NWC"))
         if self.use_bias:
             x = x + self.param("bias", nn.initializers.zeros, (self.dim,))
         if self.norm == "group":
@@ -182,8 +181,7 @@ class PosConvEmbedding(nn.Module):
         h = jax.lax.conv_general_dilated(
             x, w.astype(self.dtype), (1,), ((pad, pad),),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=groups,
-            preferred_element_type=jnp.float32).astype(self.dtype) + b
+            feature_group_count=groups) + b
         if k % 2 == 0:  # HF Wav2Vec2SamePadLayer removes one trailing step
             h = h[:, :-1]
         return jax.nn.gelu(h, approximate=False)

@@ -44,8 +44,7 @@ def conv1d_replicate(x: Array, w: Array, b: Optional[Array], stride: int, pad: i
         window_strides=(stride,),
         padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         out = out + b
     return out
@@ -75,8 +74,7 @@ def conv1d_transpose_torch(x: Array, w: Array, b: Optional[Array],
         padding=((lo, hi),),
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         out = out + b
     return out
@@ -155,6 +153,7 @@ class _ConvINBlock(nn.Module):
     def __call__(self, x: Array, lengths: Optional[Array] = None) -> Array:
         w = self.param("kernel", nn.initializers.lecun_normal(), (5, x.shape[-1], self.dim))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x = x.astype(self.dtype)
         if lengths is not None:
             x = fill_pad_with_edge(x, lengths)
         x = conv1d_replicate(x, w.astype(self.dtype), b.astype(self.dtype), self.stride, 2)
@@ -226,6 +225,7 @@ class ConvExpander(nn.Module):
         # first: transposed conv upsample x2
         w = self.param("tconv_kernel", nn.initializers.lecun_normal(), (5, x.shape[-1], self.dim))
         b = self.param("tconv_bias", nn.initializers.zeros, (self.dim,))
+        x = x.astype(self.dtype)
         x = conv1d_transpose_torch(x, w.astype(self.dtype), b.astype(self.dtype),
                                    stride=2, pad=2, output_padding=1)
         x = nn.leaky_relu(x, negative_slope=self.neg)
