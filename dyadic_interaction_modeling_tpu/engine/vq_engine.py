@@ -73,6 +73,7 @@ def train_epoch(state: TrainState, loader: Iterable, train_step: Callable,
     meters = meters or {k: AverageMeter() for k in
                         ("loss", "rec_loss", "quant_loss", "perplexity", "batch_time")}
     t0 = time.time()
+    metrics = None
     for i, batch in enumerate(loader):
         state, metrics = train_step(state, batch)
         if (i + 1) % print_freq == 0:
@@ -85,7 +86,8 @@ def train_epoch(state: TrainState, loader: Iterable, train_step: Callable,
                 f"Epoch {epoch} iter {i + 1}: loss {meters['loss'].val:.4f} "
                 f"rec {meters['rec_loss'].val:.4f} quant {meters['quant_loss'].val:.4f} "
                 f"ppl {meters['perplexity'].val:.1f}")
-    # final sync
+    if metrics is None:
+        return state, {}
     out = {k: float(metrics[k]) for k in ("loss", "rec_loss", "quant_loss", "perplexity")}
     return state, out
 

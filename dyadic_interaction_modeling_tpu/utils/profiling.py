@@ -20,17 +20,15 @@ from .logging import AverageMeter
 
 
 def fence(tree) -> None:
-    """Reliable device fence: full host transfer (axon's block_until_ready
-    may return before execution finishes)."""
+    """Reliable device fence for timing on the axon platform: reduce each
+    array to a scalar ON DEVICE and transfer only that (block_until_ready can
+    return early; device_get of large tensors is tunnel-bound)."""
     import jax
-
-    jax.tree_util.tree_map(lambda x: None if not hasattr(x, "addressable_shards")
-                           else x.copy_to_host_async(), tree)
-    import numpy as np
+    import jax.numpy as jnp
 
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "shape"):
-            np.asarray(leaf)
+            float(jnp.sum(leaf.astype(jnp.float32)))
 
 
 class StepTimer:
