@@ -173,4 +173,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon tunnel occasionally drops a remote_compile request; one retry
+    # is cheap thanks to the persistent compilation cache
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        import sys, traceback
+
+        traceback.print_exc()
+        print("bench: transient failure, retrying once", file=sys.stderr)
+        main()
