@@ -17,7 +17,7 @@ from ..engine.pt_engine import select_best_by_l2, speaker_ids_from_names
 from ..metrics.reporting import print_biwi_metrics
 from ..models.slm import SpeakerSLMFT
 from ..utils.checkpoint import load_checkpoint
-from .common import get_parser, load_config, setup
+from .common import get_parser, load_config, setup, vq_cfg_for
 
 
 def main(argv=None):
@@ -31,7 +31,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logger = setup(args)
     slm_cfg = load_config(args, slm_defaults)
-    vq_cfg = vq_listener_defaults()
+    vq_cfg = vq_cfg_for(slm_cfg, args.synthetic)
 
     model = SpeakerSLMFT(slm_cfg, vq_cfg, vertice_dim=args.vertice_dim)
 
@@ -49,8 +49,8 @@ def main(argv=None):
                             jnp.asarray(audio)[None],
                             jnp.asarray(item["template"])[None],
                             [item["name"]]))
-        mouth_map = list(range(min(100, n_v)))
-        upper_map = list(range(min(100, n_v), min(200, n_v)))
+        mouth_map = list(range(n_v // 2))
+        upper_map = list(range(n_v // 2, n_v))
     else:
         raise SystemExit("real BIWI data loading requires the dataset mounted; "
                          "run with --synthetic or provide paths")
@@ -86,8 +86,26 @@ def main(argv=None):
             np.save(os.path.join(args.out_dir, "gt", bnames[j].replace(".wav", ".npy")),
                     gt[j])
             np.save(os.path.join(args.out_dir, "pred", bnames[j].replace(".wav", ".npy")),
-                    best)
+                    pred[j])
     logger.info(f"wrote {len(y_pred)} clips to {args.out_dir}")
+
+    # LVE/FDD need mesh-space sequences + region maps + subject templates;
+    # available in synthetic mode and whenever the maps are passed.
+    if args.synthetic:
+        mesh_head = jax.jit(lambda p, e: model.apply(
+            p, jnp.asarray(e)[None], False,
+            method=lambda m, toks, fl: m.vertice_map_reverse(
+                m.vertice_map_reverse_lstm(toks))))
+        gt_mesh, pred_mesh = [], []
+        for (verts, _, _, template, bnames2), yp in zip(batches, y_pred):
+            gt_mesh.append(np.asarray(verts)[0, 1:])
+            mesh = np.asarray(mesh_head(params, yp))[0] + np.asarray(template)
+            pred_mesh.append(mesh)
+        metrics = print_biwi_metrics(gt_mesh, pred_mesh,
+                                     [b[4][0] for b in batches], templates,
+                                     mouth_map, upper_map,
+                                     n_vertices=args.vertice_dim // 3)
+        logger.info(f"LVE {metrics['lve']:.4e} FDD {metrics['fdd']:.4e}")
     return y_true, y_pred, names
 
 

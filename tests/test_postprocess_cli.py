@@ -108,3 +108,17 @@ def test_cli_train_stage2_synthetic_smoke():
     leaves = jax.tree_util.tree_leaves(
         state.params["audio_encoder"]["feature_extractor"])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_cli_test_biwi_synthetic_smoke():
+    from dyadic_interaction_modeling_tpu.cli import test_biwi
+
+    y_true, y_pred, names = test_biwi.main([
+        "--synthetic", "--out-dir", "/tmp/test_biwi_out", "--vertice-dim", "300",
+        "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
+        "dec_heads", "2", "num_tokens", "24", "dim_audio", "768",
+    ])
+    assert len(y_true) == len(y_pred) == 4
+    import os
+
+    assert len(os.listdir("/tmp/test_biwi_out/pred")) == 4
