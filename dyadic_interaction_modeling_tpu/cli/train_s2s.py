@@ -42,6 +42,11 @@ def main(argv=None):
     logger = setup(args)
     cfg = load_config(args, listener_generator_defaults)
     vq_cfg = vq_listener_defaults()
+    vq_cfg.n_embed = cfg.dec_num_tokens  # decoder predicts listener VQ codes
+    if args.synthetic and cfg.dim < 128:
+        vq_cfg.update(dict(hidden_size=max(32, cfg.dim), num_hidden_layers=1,
+                           num_attention_heads=2,
+                           intermediate_size=2 * max(32, cfg.dim), zquant_dim=32))
 
     model = ListenerGenerator(cfg, vq_cfg, vq_cfg)
     train_loader, val_loader = make_loaders(args, args.batch_size)

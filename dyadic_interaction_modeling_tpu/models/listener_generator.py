@@ -130,6 +130,9 @@ class ListenerGenerator(CfgModule):
 
     def setup(self):
         c = self.cfg
+        assert c.dec_num_tokens == self.vq_cfg_listener.n_embed, (
+            f"decoder vocab ({c.dec_num_tokens}) must equal the listener VQ "
+            f"codebook size ({self.vq_cfg_listener.n_embed})")
         self.speaker_vq = VQAutoEncoder(self.vq_cfg_speaker, variant="BIWI",
                                         dtype=self.dtype)
         self.listener_vq = VQAutoEncoder(self.vq_cfg_listener, variant="BIWI",

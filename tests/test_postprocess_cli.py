@@ -122,3 +122,37 @@ def test_cli_test_biwi_synthetic_smoke():
     import os
 
     assert len(os.listdir("/tmp/test_biwi_out/pred")) == 4
+
+
+def test_cli_train_s2s_and_test_s2s_synthetic_smoke():
+    from dyadic_interaction_modeling_tpu.cli import train_s2s
+
+    state, keeper = train_s2s.main([
+        "--synthetic", "--batch-size", "4", "--epochs", "1",
+        "--save-path", "/tmp/test_s2s_ckpt",
+        "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
+        "dec_heads", "2", "dec_num_tokens", "24",
+    ])
+    assert keeper.best is not None and np.isfinite(keeper.best)
+
+
+def test_cli_train_converter_synthetic_smoke():
+    from dyadic_interaction_modeling_tpu.cli import train_converter
+
+    state, keeper = train_converter.main([
+        "--synthetic", "--epochs", "1", "--vertice-dim", "300",
+        "--save-path", "/tmp/test_conv_ckpt",
+        "hidden_size", "32", "num_hidden_layers", "1", "num_attention_heads", "2",
+        "intermediate_size", "64", "zquant_dim", "16", "n_embed", "24",
+    ])
+    assert keeper.best is not None and np.isfinite(keeper.best)
+
+
+def test_cli_test_s2s_synthetic_smoke():
+    from dyadic_interaction_modeling_tpu.cli import test_s2s
+
+    test_s2s.main([
+        "--synthetic", "--batch-size", "4",
+        "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
+        "dec_heads", "2", "dec_num_tokens", "24",
+    ])
