@@ -19,8 +19,7 @@ host (FD needs scipy sqrtm).
 
 from __future__ import annotations
 
-import time
-from typing import Callable, Dict, Iterable, List, Optional, Tuple
+from typing import Callable, Dict, Iterable, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,10 +8,9 @@ reimplemented in metrics.eval_utils.perplexity_from_logits).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, Tuple
+from typing import Callable, Dict, Iterable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..metrics.eval_utils import perplexity_from_logits

@@ -11,7 +11,7 @@ layout and pjit shardings uniform).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional
+from typing import Any, Iterable, Optional
 
 import jax
 import optax

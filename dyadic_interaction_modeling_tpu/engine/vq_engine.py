@@ -18,7 +18,6 @@ import time
 from typing import Callable, Dict, Iterable, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..metrics.loss import calc_vq_loss, calc_vq_loss_AV
 from ..utils.logging import AverageMeter, get_logger

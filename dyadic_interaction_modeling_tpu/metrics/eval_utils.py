@@ -8,7 +8,7 @@ TPU does the generation, numpy does the scoring.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from scipy import linalg

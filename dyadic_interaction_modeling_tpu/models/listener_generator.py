@@ -25,8 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..config import StaticCfg, listener_generator_defaults, vq_listener_defaults
-from ..metrics.loss import pairwise_distance_loss
+from ..config import StaticCfg
 from ..ops.rnn import LSTM
 from .slm import IGNORE, continuous_loss
 from .vq_vae import CfgModule, VQAutoEncoder

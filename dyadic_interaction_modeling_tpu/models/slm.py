@@ -31,7 +31,7 @@ Frozen-submodule semantics (requires_grad toggles at :100-113, :352-366,
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,7 +47,6 @@ from .xtrans import (
     ar_cross_entropy,
     ar_inputs_targets,
     ar_mask_prob_kv_mask,
-    generate_tokens,
 )
 
 Array = jax.Array

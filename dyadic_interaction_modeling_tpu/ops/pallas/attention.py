@@ -20,7 +20,7 @@ produce garbage that callers mask out downstream, matching the dense path).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ on the MXU.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -12,9 +12,8 @@
 from __future__ import annotations
 
 import os
-import pickle
 import random
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -18,7 +18,7 @@ training signal - random-feature perceptual distance) or plain L1 via
 
 from __future__ import annotations
 
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import flax.linen as nn
 import jax

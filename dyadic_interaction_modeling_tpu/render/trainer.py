@@ -20,11 +20,10 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Dict, Iterable, Optional, Tuple
+from typing import Callable, Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
