@@ -1,0 +1,70 @@
+"""Device-side kernel checks - run only when a TPU backend is attached.
+
+The pytest conftest forces the CPU platform, so these are skipped in the
+default suite; run directly on hardware with:
+    DIM_TPU_RUN_DEVICE_TESTS=1 python -m pytest tests/test_tpu_only.py --no-header
+(without the conftest's platform override taking effect, e.g. via
+``python -m pytest -p no:cacheprovider`` from an environment where
+JAX_PLATFORMS is honored, or by importing and calling ``run_all()``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not (_on_tpu() and os.environ.get(
+    "DIM_TPU_RUN_DEVICE_TESTS")), reason="requires a TPU backend (opt-in)")
+
+
+def test_flash_attention_matches_dense_on_device():
+    import jax
+    import jax.numpy as jnp
+
+    from dyadic_interaction_modeling_tpu.ops.pallas.attention import flash_attention
+
+    B, H, L, D = 2, 4, 512, 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, L, D))
+    k = jax.random.normal(ks[1], (B, H, L, D))
+    v = jax.random.normal(ks[2], (B, H, L, D))
+    km = jnp.ones((B, L), bool).at[0, 400:].set(False)
+    out = flash_attention(q, k, v, key_mask=km, causal=True)
+    s = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32) * D ** -0.5
+    s = jnp.where(km[:, None, None, :], s, -1e30)
+    s = jnp.where(jnp.tril(jnp.ones((L, L), bool))[None, None], s, -1e30)
+    ref = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, -1).astype(v.dtype), v)
+    np.testing.assert_allclose(np.asarray(out[:, :, :400]),
+                               np.asarray(ref[:, :, :400]), rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_vq_matches_xla_on_device():
+    import jax
+
+    from dyadic_interaction_modeling_tpu.ops.pallas.vq import pallas_nearest_code
+    from dyadic_interaction_modeling_tpu.ops.quantizer import nearest_code
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (2048, 128)) * 0.3
+    cb = jax.random.normal(jax.random.PRNGKey(1), (512, 128)) * 0.3
+    os.environ["DIM_TPU_USE_PALLAS"] = "0"
+    ref = np.asarray(nearest_code(z, cb))
+    got = np.asarray(pallas_nearest_code(z, cb))
+    assert (ref == got).mean() > 0.999
+
+
+def run_all():
+    """Manual device-test entry (bypasses pytest/conftest)."""
+    os.environ["DIM_TPU_RUN_DEVICE_TESTS"] = "1"
+    test_flash_attention_matches_dense_on_device()
+    test_pallas_vq_matches_xla_on_device()
+    print("device tests OK")
