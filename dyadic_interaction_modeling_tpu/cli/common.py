@@ -65,3 +65,23 @@ def vq_cfg_for(slm_cfg, synthetic: bool = False) -> CfgNode:
                        intermediate_size=2 * max(32, slm_cfg.dim),
                        zquant_dim=32))
     return vq
+
+
+def load_torch_slm_params(path: str, params_template, slm_cfg, vq_cfg,
+                          variant: str = "slmft"):
+    """Load a reference-format SLM-family ``.pt`` (torch state_dict, e.g.
+    ``best_vico_causal.pt`` / ``best_model_candor_pretrain*.pt`` /
+    ``best_model_biwi_finetune*.pt``) into flax params.
+
+    Handles ``{'state_dict': ...}`` wrappers, the DataParallel ``module.``
+    prefix and gamma/beta legacy renames (finetune_s2s_pretrain.py:50-57).
+    """
+    import torch
+
+    from ..utils.torch_import import torch_slm_to_flax
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return torch_slm_to_flax(sd, slm_cfg, vq_cfg, variant=variant,
+                             params_template=params_template)["params"]

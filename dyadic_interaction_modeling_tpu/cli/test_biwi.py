@@ -23,6 +23,8 @@ from .common import get_parser, load_config, setup, vq_cfg_for
 def main(argv=None):
     parser = get_parser("BIWI speaker evaluation")
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="reference-format .pt (best_model_biwi_finetune*.pt)")
     parser.add_argument("--beam-size", type=int, default=50)
     parser.add_argument("--out-dir", type=str, default="./biwi_out")
     parser.add_argument("--vertice-dim", type=int, default=70110)
@@ -60,6 +62,14 @@ def main(argv=None):
     sids0 = speaker_ids_from_names(b0[4])
     if args.checkpoint:
         params = {"params": load_checkpoint(args.checkpoint)["params"]}
+    elif args.torch_checkpoint:
+        from .common import load_torch_slm_params
+
+        template = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2],
+                              mask0, b0[3], sids0)["params"]
+        params = {"params": load_torch_slm_params(
+            args.torch_checkpoint, template, slm_cfg, vq_cfg,
+            variant="speaker_slmft")}
     else:
         params = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2],
                             mask0, b0[3], sids0)

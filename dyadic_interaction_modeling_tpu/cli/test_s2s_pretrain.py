@@ -26,6 +26,8 @@ from .finetune_s2s_pretrain import make_loaders, _batches
 def main(argv=None):
     parser = get_parser("SLMFT best-of-N evaluation")
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="reference-format .pt (e.g. best_vico_causal.pt)")
     parser.add_argument("--beam-size", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--out", type=str, default="l2l_listener_predictions.pkl")
@@ -40,6 +42,12 @@ def main(argv=None):
     batch0 = next(_batches(val_loader))
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint)["params"]
+    elif args.torch_checkpoint:
+        from .common import load_torch_slm_params
+
+        template = model.init(jax.random.PRNGKey(1), *batch0, rng)["params"]
+        params = load_torch_slm_params(args.torch_checkpoint, template,
+                                       slm_cfg, vq_cfg, variant="slmft")
     else:
         params = model.init(jax.random.PRNGKey(1), *batch0, rng)["params"]
         logger.warning("no --checkpoint given: evaluating random init")

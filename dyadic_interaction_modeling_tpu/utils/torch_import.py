@@ -11,7 +11,7 @@ performs on load (finetune_s2s_pretrain.py:50-57).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -156,3 +156,233 @@ def torch_vq_speaker_to_flax(state_dict: Mapping[str, Any], cfg) -> Dict:
                 pre=True, out_bias=False)
     _set(tree, "quantize/embedding", _t(sd["quantize.embedding.weight"]))
     return {"params": tree}
+
+
+# ---------------------------------------------------------------------------
+# x-transformers (lucidrains, ==1.30.16 per the reference requirements.txt)
+# checkpoint import for the SLM family. State-dict layout assumptions,
+# written from the 1.30 source (the wheel is not in this image, so the
+# layout is additionally pinned by tests/test_xtrans_import.py, which
+# rebuilds the same architecture in plain torch with these exact key names
+# and asserts forward parity after import):
+#
+# ContinuousTransformerWrapper:
+#   project_in.{weight,bias}        Linear(dim_in, dim)
+#   pos_emb.emb.weight              AbsolutePositionalEmbedding - NOTE: the
+#                                   forward multiplies by dim**-0.5; we fold
+#                                   that scale into the imported table
+#   attn_layers.layers.{j}.0.0.*    pre-branch LayerNorm (gamma/beta in the
+#                                   x-transformers custom LayerNorm; the
+#                                   reference renames them to weight/bias on
+#                                   load - normalize_legacy_keys handles both)
+#   attn_layers.layers.{j}.1.*      the block (Attention or FeedForward)
+#   attn_layers.final_norm.*        final LayerNorm (older versions: .norm)
+#   project_out.{weight,bias}       Linear(dim, dim_out) - present in the
+#                                   state_dict but unused when the model only
+#                                   calls return_embeddings=True
+# Encoder layer order: (attn, ff) per depth -> indices 2i, 2i+1.
+# Decoder(cross_attend=True): (attn, cross, ff) -> indices 3i, 3i+1, 3i+2.
+# Attention: to_q/to_k/to_v/to_out, all Linear bias=False.
+# FeedForward: ff.0.0 (Linear in), ff.3 (Linear out); 1=post-act LN
+# (Identity), 2=Dropout.
+# TransformerWrapper (wrapped by AutoregressiveWrapper -> keys under .net):
+#   token_emb.emb.weight, [pos_emb.emb.weight], attn_layers.*,
+#   to_logits.weight (bias=False).
+# ---------------------------------------------------------------------------
+
+
+def _xt_attn(tree, flax_prefix, sd, prefix):
+    for nm in ("to_q", "to_k", "to_v", "to_out"):
+        _dense(tree, f"{flax_prefix}/{nm}", sd, f"{prefix}.{nm}", bias=False)
+
+
+def _xt_ff(tree, flax_prefix, sd, prefix):
+    _dense(tree, f"{flax_prefix}/w1", sd, f"{prefix}.ff.0.0")
+    _dense(tree, f"{flax_prefix}/w2", sd, f"{prefix}.ff.3")
+
+
+def _xt_norm(tree, flax_path, sd, torch_prefix):
+    w = _t(sd[f"{torch_prefix}.weight"])
+    _set(tree, f"{flax_path}/scale", w)
+    b = sd.get(f"{torch_prefix}.bias")
+    # the x-transformers LayerNorm keeps beta as a zeros BUFFER; some save
+    # paths drop buffers - treat a missing bias as zeros.
+    _set(tree, f"{flax_path}/bias",
+         _t(b) if b is not None else np.zeros_like(w))
+
+
+def _xt_final_norm_prefix(sd, prefix):
+    for cand in (f"{prefix}.final_norm", f"{prefix}.norm"):
+        if f"{cand}.weight" in sd:
+            return cand
+    raise KeyError(f"no final norm under {prefix} (tried .final_norm, .norm)")
+
+
+def _xt_encoder_layers(tree, flax_prefix, sd, prefix, depth):
+    for i in range(depth):
+        a, f = 2 * i, 2 * i + 1
+        _xt_norm(tree, f"{flax_prefix}/norm_attn_{i}", sd, f"{prefix}.layers.{a}.0.0")
+        _xt_attn(tree, f"{flax_prefix}/attn_{i}", sd, f"{prefix}.layers.{a}.1")
+        _xt_norm(tree, f"{flax_prefix}/norm_ff_{i}", sd, f"{prefix}.layers.{f}.0.0")
+        _xt_ff(tree, f"{flax_prefix}/ff_{i}", sd, f"{prefix}.layers.{f}.1")
+    _xt_norm(tree, f"{flax_prefix}/final_norm", sd, _xt_final_norm_prefix(sd, prefix))
+
+
+def _xt_decoder_layers(tree, flax_prefix, sd, prefix, depth):
+    for i in range(depth):
+        s, c, f = 3 * i, 3 * i + 1, 3 * i + 2
+        _xt_norm(tree, f"{flax_prefix}/norm_self_{i}", sd, f"{prefix}.layers.{s}.0.0")
+        _xt_attn(tree, f"{flax_prefix}/self_{i}", sd, f"{prefix}.layers.{s}.1")
+        _xt_norm(tree, f"{flax_prefix}/norm_cross_{i}", sd, f"{prefix}.layers.{c}.0.0")
+        _xt_attn(tree, f"{flax_prefix}/cross_{i}", sd, f"{prefix}.layers.{c}.1")
+        _xt_norm(tree, f"{flax_prefix}/norm_ff_{i}", sd, f"{prefix}.layers.{f}.0.0")
+        _xt_ff(tree, f"{flax_prefix}/ff_{i}", sd, f"{prefix}.layers.{f}.1")
+    _xt_norm(tree, f"{flax_prefix}/final_norm", sd, _xt_final_norm_prefix(sd, prefix))
+
+
+def _xt_continuous(tree, flax_prefix, sd, prefix, depth, dim):
+    """ContinuousTransformerWrapper -> models.xtrans.ContinuousTransformerWrapper."""
+    _dense(tree, f"{flax_prefix}/project_in", sd, f"{prefix}.project_in")
+    pk = f"{prefix}.pos_emb.emb.weight"
+    if pk in sd:
+        _set(tree, f"{flax_prefix}/pos_emb", _t(sd[pk]) * dim ** -0.5)
+    _xt_encoder_layers(tree, f"{flax_prefix}/layers", sd,
+                       f"{prefix}.attn_layers", depth)
+    if f"{prefix}.project_out.weight" in sd:
+        _dense(tree, f"{flax_prefix}/project_out", sd, f"{prefix}.project_out")
+
+
+def _xt_token_decoder(tree, flax_prefix, sd, prefix, depth, dim):
+    """AutoregressiveWrapper(TransformerWrapper) -> models.xtrans.TokenDecoder.
+
+    ``prefix`` must include the AutoregressiveWrapper's ``.net``.
+    """
+    _set(tree, f"{flax_prefix}/token_emb/embedding",
+         _t(sd[f"{prefix}.token_emb.emb.weight"]))
+    pk = f"{prefix}.pos_emb.emb.weight"
+    if pk in sd:
+        _set(tree, f"{flax_prefix}/pos_emb", _t(sd[pk]) * dim ** -0.5)
+    _xt_decoder_layers(tree, f"{flax_prefix}/layers", sd,
+                       f"{prefix}.attn_layers", depth)
+    _dense(tree, f"{flax_prefix}/to_logits", sd, f"{prefix}.to_logits", bias=False)
+
+
+def _plain_layernorm(tree, flax_path, sd, torch_prefix):
+    _set(tree, f"{flax_path}/scale", _t(sd[f"{torch_prefix}.weight"]))
+    _set(tree, f"{flax_path}/bias", _t(sd[f"{torch_prefix}.bias"]))
+
+
+def _lstm(tree, flax_prefix, sd, torch_prefix):
+    """torch nn.LSTM -> ops.rnn.LSTM (parameter names match 1:1)."""
+    for k in sd:
+        if k.startswith(torch_prefix + "."):
+            _set(tree, f"{flax_prefix}/{k[len(torch_prefix) + 1:]}", _t(sd[k]))
+
+
+def _mesh_head(tree, flax_prefix, sd, torch_prefix):
+    """Sequential(Linear, LeakyReLU, Linear) -> models.slm.MeshHead (l1/l2)."""
+    _dense(tree, f"{flax_prefix}/l1", sd, f"{torch_prefix}.0")
+    _dense(tree, f"{flax_prefix}/l2", sd, f"{torch_prefix}.2")
+
+
+def _converter_heads(tree, sd):
+    """The EmocaConverter head stack shared by SpeakerSLMFT
+    (seq2seq_pretrain.py:563-573, 784-824)."""
+    _dense(tree, "vertice_mapping", sd, "vertice_mapping.0")
+    _conv1d(tree, "squasher/block_0", sd, "squasher.0.0")
+    _lstm(tree, "vertice_map_reverse_lstm", sd, "vertice_map_reverse_lstm")
+    _lstm(tree, "vertice_map_reverse_lstm_2", sd, "vertice_map_reverse_lstm_2")
+    _mesh_head(tree, "vertice_map_reverse", sd, "vertice_map_reverse")
+    _mesh_head(tree, "vertice_map_reverse2", sd, "vertice_map_reverse2")
+
+
+def _sub_state_dict(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {k[len(prefix) + 1:]: v for k, v in sd.items()
+            if k.startswith(prefix + ".")}
+
+
+def torch_slm_to_flax(state_dict: Mapping[str, Any], cfg, vq_cfg,
+                      variant: str = "slmft",
+                      params_template: Optional[Dict] = None) -> Dict:
+    """Reference SLM / SLMFT / SpeakerSLMFT state_dict -> flax params.
+
+    Handles the checkpoints saved by ``train_s2s_pretrain.py:62-64`` /
+    ``finetune_s2s_pretrain.py:140-143`` (``best_model_candor_pretrain*.pt``,
+    ``best_vico_causal.pt``, ``best_model_biwi_finetune*.pt``), including the
+    gamma/beta legacy renames (finetune_s2s_pretrain.py:50-57) and the
+    DataParallel ``module.`` prefix.
+
+    When ``params_template`` (the model's init params, WITHOUT the top
+    "params" wrapper) is given, the result is filtered to the template's
+    structure — the reference state_dict contains submodules our forward
+    never touches (SLMFT's encoder_l / norm_l / norm, the speaker VQ
+    decoder) — and verified to cover it exactly.
+    """
+    sd = normalize_legacy_keys(state_dict)
+    tree: Dict = {}
+
+    vq_names = ("speaker_vq", "listener_vq")
+    if variant == "converter":
+        vq_names = ("speaker_vq",)
+    for vq in vq_names:
+        sub = _sub_state_dict(sd, vq)
+        if sub:
+            tree[vq] = torch_vq_to_flax(sub, vq_cfg, variant="BIWI")["params"]
+
+    if variant == "converter":
+        _converter_heads(tree, sd)
+        return _finish(tree, params_template)
+
+    for nm in ("patch_embed_s", "patch_embed_l",
+               "patch_embed_dec_s", "patch_embed_dec_l"):
+        _set(tree, nm, _t(sd[nm]))
+    for ln, torch_nm in (("norm_s", "norm_s"), ("norm_l", "norm_l"),
+                         ("norm", "norm")):
+        if f"{torch_nm}.weight" in sd:
+            _plain_layernorm(tree, ln, sd, torch_nm)
+
+    for enc in ("encoder_s", "encoder_l", "encoder_joint"):
+        if f"{enc}.project_in.weight" in sd:
+            _xt_continuous(tree, enc, sd, enc, cfg.enc_depth, cfg.dim)
+
+    _xt_token_decoder(tree, "decoder_joint", sd, "decoder_joint.net",
+                      cfg.dec_depth, cfg.dim + cfg.dim_audio)
+
+    if variant == "speaker_slmft":
+        _converter_heads(tree, sd)
+        _set(tree, "speaker_embed/embedding", _t(sd["speaker_embed.weight"]))
+        _set(tree, "W", _t(sd["W"]))
+
+    return _finish(tree, params_template)
+
+
+def _leaf_paths(tree: Mapping, prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, Mapping):
+            out.update(_leaf_paths(v, p))
+        else:
+            out[p] = v
+    return out
+
+
+def _finish(tree: Dict, params_template: Optional[Dict]) -> Dict:
+    if params_template is None:
+        return {"params": tree}
+    if "params" in params_template and len(params_template) == 1:
+        params_template = params_template["params"]
+    built = _leaf_paths(tree)
+    want = _leaf_paths(params_template)
+    missing = sorted(set(want) - set(built))
+    if missing:
+        raise KeyError(f"state_dict did not cover {len(missing)} params, "
+                       f"e.g. {missing[:8]}")
+    out: Dict = {}
+    for path, ref in want.items():
+        v = built[path]
+        if tuple(np.shape(v)) != tuple(np.shape(ref)):
+            raise ValueError(f"shape mismatch at {path}: "
+                             f"checkpoint {np.shape(v)} vs model {np.shape(ref)}")
+        _set(out, path, np.asarray(v, dtype=np.asarray(ref).dtype))
+    return {"params": out}
