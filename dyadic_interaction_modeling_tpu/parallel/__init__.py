@@ -2,6 +2,8 @@ from .mesh import (
     make_mesh,
     shard_batch,
     replicate,
+    tp_param_spec,
+    tp_param_shardings,
     data_sharding,
     init_distributed,
     is_master,
@@ -11,6 +13,8 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "replicate",
+    "tp_param_spec",
+    "tp_param_shardings",
     "data_sharding",
     "init_distributed",
     "is_master",

@@ -79,3 +79,28 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (parameters / optimizer state) on the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def tp_param_spec(path, leaf, model_axis_size: int,
+                  name_substrings: Sequence[str] = ("ff_", "to_logits"),
+                  min_width: int = 64) -> P:
+    """Tensor-parallel sharding rule for SLM-family params.
+
+    Shards the widest matmuls - decoder feedforward kernels and the logits
+    projection - over the ``model`` axis on their OUTPUT dim; everything else
+    is replicated. The matching all-reduce is inserted by XLA (GSPMD) inside
+    the jitted step; activations stay sharded through the pointwise ops
+    between the two feedforward matmuls.
+    """
+    names = "/".join(str(getattr(p, "key", "")) for p in path)
+    if leaf.ndim == 2 and leaf.shape[-1] % model_axis_size == 0 and any(
+            s in names for s in name_substrings) and leaf.shape[-1] >= min_width:
+        return P(None, "model")
+    return P()
+
+
+def tp_param_shardings(mesh: Mesh, params, model_axis_size: int):
+    """NamedShardings for a params pytree under ``tp_param_spec``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, tp_param_spec(p, x, model_axis_size)),
+        params)
