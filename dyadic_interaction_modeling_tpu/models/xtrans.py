@@ -41,8 +41,9 @@ NEG_INF = float("-inf")
 
 def _use_flash(kv_len: int, dim_head: int) -> bool:
     """Dispatch to the Pallas fused attention when it wins: TPU backend,
-    no-pad head dims, L large enough to matter, and within the backward
-    kernel's VMEM budget (L <= 1024)."""
+    no-pad head dims, L large enough to matter, and within the q-tiled
+    backward kernel's VMEM budget (L <= 2048 - covers the reference's
+    enc_max_seq_len=2048, seq2seq_pretrain.py:118)."""
     import os
 
     if os.environ.get("DIM_TPU_FLASH", "1") == "0":
@@ -50,7 +51,7 @@ def _use_flash(kv_len: int, dim_head: int) -> bool:
     # measured on v5e: at L=256 the fused kernel's fixed overhead loses to
     # XLA's dense path (245 vs 208 ms SLM step); at L>=512 it wins decisively
     # (the masked dense softmax degrades to seconds at L=1024).
-    if dim_head not in (64, 128) or not (512 <= kv_len <= 1024):
+    if dim_head not in (64, 128) or not (512 <= kv_len <= 2048):
         return False
     from ..ops.pallas.attention import flash_available
 

@@ -6,10 +6,16 @@ the FULL key/value rows live in VMEM, scores are one MXU matmul, masking /
 softmax run on the VPU, and the (L, L) score matrix never reaches HBM. The
 log-sum-exp is saved for the backward pass.
 
-Backward (custom VJP): one grid step per (batch*head) recomputes the
-probability matrix from the saved LSE and produces dq/dk/dv with four MXU
-matmuls - the standard flash-attention backward without the outer loop
-(full L fits VMEM for L <= ~1024 at D <= 128).
+Backward (custom VJP): grid over (batch*heads, query tiles). Each step
+recomputes its TQ-row slice of the probability matrix from the saved LSE
+(never materializing (L, L)), writes its dq tile, and ACCUMULATES dk/dv into
+a full-rows fp32 output block that stays resident in VMEM across the
+sequential query-tile loop (the TPU grid is a sequential loop per core, so
+revisiting the same output block is the standard accumulation pattern).
+VMEM high-water at L=2048, D=128: k+v (2 MB) + dk+dv accumulators (2 MB) +
+three TQ x L f32 score buffers (3 MB) + tiles < 9 MB of the ~16 MB budget -
+covering the reference's enc_max_seq_len=2048 (seq2seq_pretrain.py:118,
+reached as the 2 x 1024-frame concat in SLM's joint encoder).
 
 Supports: causal masking, per-row key masks (padding), arbitrary softmax
 scale. Head dims are zero-padded to a multiple of 128 lanes; sequence
@@ -63,34 +69,43 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal)
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, mask_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, causal):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    """One TQ-row query tile; dk/dv accumulate across the (sequential)
+    query-tile grid dimension into a VMEM-resident full-rows block."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)       # (TQ, Dp)
+    k = k_ref[0].astype(jnp.float32)       # (Lkp, Dp)
     v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)     # (TQ, Dp)
     o = o_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]
+    lse = lse_ref[0]                       # (TQ, 1)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     keep = mask_ref[0, 0][None, :] != 0
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        row = j * TQ + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         keep = keep & (col <= row)
     s = jnp.where(keep, s, NEG)
-    p = jnp.exp(s - lse)                                  # (L, L) probs
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    p = jnp.exp(s - lse)                   # (TQ, Lkp) prob slice
+    dv_ref[0] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     delta = jnp.sum(do * o, axis=1, keepdims=True)
     ds = p * (dp - delta) * scale
     dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
 
 
 def _fwd(q, k, v, key_mask, scale, causal):
@@ -147,28 +162,30 @@ def _bwd(q, k, v, o, do, lse, key_mask, scale, causal):
     dop = _pad_to(_pad_to(do, 128, 2), TQ, 1)
     lqp, dp_ = qp.shape[1], qp.shape[2]
     lkp = kp.shape[1]
-    # padded query rows: give them a very negative lse so p = exp(NEG - lse)
-    # stays 0 instead of exp(0)=1
+    # padded query rows carry lse=0 but zero q/do/o, so their p row (all
+    # ones over valid keys) contributes nothing to dv/dk and their dq is
+    # sliced off below.
     lsep = jnp.pad(lse, ((0, 0), (0, lqp - lq)), constant_values=0.0)[:, :, None]
     maskp = _pad_to(key_mask.astype(jnp.int32), TQ, 1)[:, None, :]
 
-    full = pl.BlockSpec((1, lqp, dp_), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    fullk = pl.BlockSpec((1, lkp, dp_), lambda i: (i, 0, 0),
+    qtile = pl.BlockSpec((1, TQ, dp_), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    fullk = pl.BlockSpec((1, lkp, dp_), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, causal=causal),
-        grid=(bh,),
-        in_specs=[full, fullk, fullk, full, full,
-                  pl.BlockSpec((1, lqp, 1), lambda i: (i, 0, 0),
+        grid=(bh, lqp // TQ),
+        in_specs=[qtile, fullk, fullk, qtile, qtile,
+                  pl.BlockSpec((1, TQ, 1), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, lkp), lambda i: (i, 0, 0),
+                  pl.BlockSpec((1, 1, lkp), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(full, fullk, fullk),
+        out_specs=(qtile, fullk, fullk),
         out_shape=(
             jax.ShapeDtypeStruct((bh, lqp, dp_), q.dtype),
-            jax.ShapeDtypeStruct((bh, lkp, dp_), k.dtype),
-            jax.ShapeDtypeStruct((bh, lkp, dp_), v.dtype),
+            # fp32 accumulators (cast to input dtype by the VJP wrapper)
+            jax.ShapeDtypeStruct((bh, lkp, dp_), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lkp, dp_), jnp.float32),
         ),
     )(qp, kp, vp, dop, op, lsep, maskp)
     return dq[:, :lq, :d], dk[:, :lk, :d], dv[:, :lk, :d]
@@ -199,7 +216,8 @@ def flash_attention(q, k, v, *, key_mask=None, causal: bool = False,
 
     q: (B, H, Lq, D); k, v: (B, H, Lk, D); key_mask: (B, Lk) bool, True=attend.
     Returns (B, H, Lq, D). Differentiable (custom Pallas VJP); backward
-    requires Lq == Lk (self-attention) and L <= ~1024 in VMEM.
+    requires Lq == Lk (self-attention); the q-tiled backward covers
+    L <= ~2048 at D <= 128 within the 16 MB VMEM budget.
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]

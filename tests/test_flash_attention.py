@@ -74,3 +74,27 @@ def test_flash_gradients_match_dense():
     gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+def test_flash_gradients_match_dense_multitile():
+    """Multiple query tiles (L > TQ=128) exercise the tiled backward's
+    dk/dv accumulation across grid steps."""
+    b, h, l, d = 1, 1, 320, 64  # 3 query tiles after padding to 384
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (b, h, l, d))
+    k = jax.random.normal(ks[1], (b, h, l, d))
+    v = jax.random.normal(ks[2], (b, h, l, d))
+    key_mask = jnp.ones((b, l), bool).at[0, 300:].set(False)
+
+    def loss_flash(q, k, v):
+        o = FA.flash_attention(q, k, v, key_mask=key_mask, causal=True)
+        return jnp.sum(jnp.square(o[:, :, :300]))
+
+    def loss_dense(q, k, v):
+        o = dense_reference(q, k, v, key_mask=key_mask, causal=True)
+        return jnp.sum(jnp.square(o[:, :, :300]))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)

@@ -62,9 +62,45 @@ def test_pallas_vq_matches_xla_on_device():
     assert (ref == got).mean() > 0.999
 
 
+def test_flash_backward_L2048_on_device():
+    """Gradients at the reference's enc_max_seq_len=2048
+    (seq2seq_pretrain.py:118) - the q-tiled backward's target length."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyadic_interaction_modeling_tpu.ops.pallas.attention import flash_attention
+
+    B, H, L, D = 1, 2, 2048, 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, H, L, D))
+    k = jax.random.normal(ks[1], (B, H, L, D))
+    v = jax.random.normal(ks[2], (B, H, L, D))
+    km = jnp.ones((B, L), bool).at[0, 1900:].set(False)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, key_mask=km, causal=True)
+        return jnp.sum(jnp.square(o[:, :, :1900]))
+
+    def loss_dense(q, k, v):
+        s = jnp.einsum("bhid,bhjd->bhij", q, k,
+                       preferred_element_type=jnp.float32) * D ** -0.5
+        s = jnp.where(km[:, None, None, :], s, -1e30)
+        s = jnp.where(jnp.tril(jnp.ones((L, L), bool))[None, None], s, -1e30)
+        o = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(s, -1).astype(v.dtype), v)
+        return jnp.sum(jnp.square(o[:, :, :1900]))
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip("qkv", gf, gd):
+        # device matmuls accumulate bf16 on the dense path; compare loosely
+        na, nb = np.asarray(jnp.sum(jnp.abs(a - b))), np.asarray(jnp.sum(jnp.abs(b)))
+        assert na / max(float(nb), 1e-9) < 2e-2, (name, float(na), float(nb))
+
+
 def run_all():
     """Manual device-test entry (bypasses pytest/conftest)."""
     os.environ["DIM_TPU_RUN_DEVICE_TESTS"] = "1"
     test_flash_attention_matches_dense_on_device()
     test_pallas_vq_matches_xla_on_device()
+    test_flash_backward_L2048_on_device()
     print("device tests OK")
