@@ -33,6 +33,19 @@ Array = jax.Array
 LRELU = lambda x: nn.leaky_relu(x, negative_slope=0.1)  # noqa: E731
 
 
+def _sn(conv: nn.Module, use_spect: bool, x: Array, train: bool) -> Array:
+    """Optionally apply spectral normalization (reference
+    ``base_function.py:151-156``: every ADAIN/Fine block conv goes through
+    ``spectral_norm(conv, use_spect)``; shipped configs use False).
+
+    flax's power-iteration state lives in the ``batch_stats`` collection;
+    pass ``train=True`` (with ``mutable=['batch_stats']``) to update it.
+    """
+    if use_spect:
+        return nn.SpectralNorm(conv)(x, update_stats=train)
+    return conv(x)
+
+
 class LayerNorm2d(nn.Module):
     """Normalise over (H, W, C) per sample; per-channel affine."""
 
@@ -74,32 +87,39 @@ def _conv(features, kernel, stride=1, padding="SAME", name=None, dtype=jnp.float
 
 class ADAINEncoderBlock(nn.Module):
     out_nc: int
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, z: Array) -> Array:
+    def __call__(self, x: Array, z: Array, train: bool = False) -> Array:
         h = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_0")(x, z)
-        h = _conv(self.out_nc, 4, 2, ((1, 1), (1, 1)), "conv_0", self.dtype)(LRELU(h))
+        h = _sn(_conv(self.out_nc, 4, 2, ((1, 1), (1, 1)), "conv_0", self.dtype),
+                self.use_spect, LRELU(h), train)
         g = ADAIN(self.out_nc, dtype=self.dtype, name="norm_1")(h, z)
-        return _conv(self.out_nc, 3, 1, "SAME", "conv_1", self.dtype)(LRELU(g))
+        return _sn(_conv(self.out_nc, 3, 1, "SAME", "conv_1", self.dtype),
+                   self.use_spect, LRELU(g), train)
 
 
 class ADAINDecoderBlock(nn.Module):
     out_nc: int
     hidden_nc: int
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, z: Array) -> Array:
+    def __call__(self, x: Array, z: Array, train: bool = False) -> Array:
         # shortcut: ADAIN -> act -> transposed conv x2
         s = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_s")(x, z)
-        s = nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype, name="conv_s")(LRELU(s))
+        s = _sn(nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
+                                 dtype=self.dtype, name="conv_s"),
+                self.use_spect, LRELU(s), train)
         h = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_0")(x, z)
-        h = _conv(self.hidden_nc, 3, 1, "SAME", "conv_0", self.dtype)(LRELU(h))
+        h = _sn(_conv(self.hidden_nc, 3, 1, "SAME", "conv_0", self.dtype),
+                self.use_spect, LRELU(h), train)
         h = ADAIN(self.hidden_nc, dtype=self.dtype, name="norm_1")(h, z)
-        h = nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
-                             dtype=self.dtype, name="conv_1")(LRELU(h))
+        h = _sn(nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
+                                 dtype=self.dtype, name="conv_1"),
+                self.use_spect, LRELU(h), train)
         return s + h
 
 
@@ -111,22 +131,24 @@ class ADAINHourglass(nn.Module):
     img_f: int = 256
     encoder_layers: int = 5
     decoder_layers: int = 3
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, z: Array) -> Array:
+    def __call__(self, x: Array, z: Array, train: bool = False) -> Array:
         h = _conv(self.ngf, 7, 1, "SAME", "input_layer", self.dtype)(x)
         skips: List[Array] = [h]
         for i in range(self.encoder_layers):
             out_nc = min(self.ngf * (2 ** (i + 1)), self.img_f)
-            h = ADAINEncoderBlock(out_nc, dtype=self.dtype, name=f"encoder{i}")(h, z)
+            h = ADAINEncoderBlock(out_nc, self.use_spect, dtype=self.dtype,
+                                  name=f"encoder{i}")(h, z, train)
             skips.append(h)
         out = skips.pop()
         for i in reversed(range(self.encoder_layers - self.decoder_layers,
                                 self.encoder_layers)):
             out_nc = min(self.ngf * (2 ** i), self.img_f)
-            out = ADAINDecoderBlock(out_nc, out_nc, dtype=self.dtype,
-                                    name=f"decoder{i}")(out, z)
+            out = ADAINDecoderBlock(out_nc, out_nc, self.use_spect, dtype=self.dtype,
+                                    name=f"decoder{i}")(out, z, train)
             out = jnp.concatenate([out, skips.pop()], axis=-1)
         return out
 
@@ -172,13 +194,16 @@ class WarpingNet(nn.Module):
     max_nc: int = 256
     encoder_layer: int = 5
     decoder_layer: int = 3
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_image: Array, descriptor: Array) -> Dict[str, Array]:
+    def __call__(self, input_image: Array, descriptor: Array,
+                 train: bool = False) -> Dict[str, Array]:
         h = ADAINHourglass(input_image.shape[-1], self.base_nc, self.max_nc,
-                           self.encoder_layer, self.decoder_layer,
-                           dtype=self.dtype, name="hourglass")(input_image, descriptor)
+                           self.encoder_layer, self.decoder_layer, self.use_spect,
+                           dtype=self.dtype, name="hourglass")(
+            input_image, descriptor, train)
         h = LayerNorm2d(h.shape[-1], dtype=self.dtype, name="flow_norm")(h)
         flow = _conv(2, 7, 1, "SAME", "flow_conv", self.dtype)(LRELU(h))
         deformation = convert_flow_to_deformation(flow)
@@ -191,14 +216,17 @@ class FineADAINResBlock(nn.Module):
     (base_function.py:344-348)."""
 
     nc: int
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, z: Array) -> Array:
-        dx = _conv(self.nc, 3, 1, "SAME", "conv1", self.dtype)(x)
+    def __call__(self, x: Array, z: Array, train: bool = False) -> Array:
+        dx = _sn(_conv(self.nc, 3, 1, "SAME", "conv1", self.dtype),
+                 self.use_spect, x, train)
         dx = LRELU(ADAIN(self.nc, dtype=self.dtype, name="norm1")(dx, z))
         dx = ADAIN(self.nc, dtype=self.dtype, name="norm2")(
-            _conv(self.nc, 3, 1, "SAME", "conv2", self.dtype)(x), z)
+            _sn(_conv(self.nc, 3, 1, "SAME", "conv2", self.dtype),
+                self.use_spect, x, train), z)
         return dx + x
 
 
@@ -208,19 +236,22 @@ class EditingNet(nn.Module):
     base_nc: int = 64
     max_nc: int = 256
     num_res_blocks: int = 2
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, input_image: Array, warp_image: Array,
-                 descriptor: Array) -> Array:
+                 descriptor: Array, train: bool = False) -> Array:
         x = jnp.concatenate([input_image, warp_image], axis=-1)
         # FineEncoder (base_function.py:193-213)
-        h = _conv(self.base_nc, 7, 1, "SAME", "enc_first", self.dtype)(x)
+        h = _sn(_conv(self.base_nc, 7, 1, "SAME", "enc_first", self.dtype),
+                self.use_spect, x, train)
         h = LRELU(LayerNorm2d(self.base_nc, dtype=self.dtype, name="enc_first_norm")(h))
         skips = [h]
         for i in range(self.layer):
             out_nc = min(self.base_nc * (2 ** (i + 1)), self.max_nc)
-            h = _conv(out_nc, 3, 1, "SAME", f"down{i}", self.dtype)(h)
+            h = _sn(_conv(out_nc, 3, 1, "SAME", f"down{i}", self.dtype),
+                    self.use_spect, h, train)
             h = LRELU(LayerNorm2d(out_nc, dtype=self.dtype, name=f"down{i}_norm")(h))
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             skips.append(h)
@@ -229,18 +260,22 @@ class EditingNet(nn.Module):
         for i in reversed(range(self.layer)):
             out_nc = min(self.base_nc * (2 ** i), self.max_nc)
             for r in range(self.num_res_blocks):
-                out = FineADAINResBlock(out.shape[-1], dtype=self.dtype,
-                                        name=f"res{i}_{r}")(out, descriptor)
+                out = FineADAINResBlock(out.shape[-1], self.use_spect,
+                                        dtype=self.dtype,
+                                        name=f"res{i}_{r}")(out, descriptor, train)
             b, hh, ww, cc = out.shape
             out = jax.image.resize(out, (b, hh * 2, ww * 2, cc), method="nearest")
-            out = _conv(out_nc, 3, 1, "SAME", f"up{i}", self.dtype)(out)
+            out = _sn(_conv(out_nc, 3, 1, "SAME", f"up{i}", self.dtype),
+                      self.use_spect, out, train)
             out = LRELU(LayerNorm2d(out_nc, dtype=self.dtype, name=f"up{i}_norm")(out))
             skip = skips.pop()
-            skip = _conv(skip.shape[-1], 3, 1, "SAME", f"jump{i}", self.dtype)(skip)
+            skip = _sn(_conv(skip.shape[-1], 3, 1, "SAME", f"jump{i}", self.dtype),
+                       self.use_spect, skip, train)
             skip = LRELU(LayerNorm2d(skip.shape[-1], dtype=self.dtype,
                                      name=f"jump{i}_norm")(skip))
             out = out + skip
-        out = _conv(input_image.shape[-1], 7, 1, "SAME", "final", self.dtype)(out)
+        out = _sn(_conv(input_image.shape[-1], 7, 1, "SAME", "final", self.dtype),
+                  self.use_spect, out, train)
         return jnp.tanh(out)
 
 
@@ -251,21 +286,28 @@ class FaceGenerator(nn.Module):
     coeff_nc: int = 73
     descriptor_nc: int = 256
     mapping_layers: int = 3
+    use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.mapping_net = MappingNet(self.flame_coeff_nc, self.coeff_nc,
                                       self.descriptor_nc, self.mapping_layers,
                                       dtype=self.dtype)
-        self.warpping_net = WarpingNet(self.descriptor_nc, dtype=self.dtype)
-        self.editing_net = EditingNet(self.descriptor_nc, dtype=self.dtype)
+        self.warpping_net = WarpingNet(self.descriptor_nc,
+                                       use_spect=self.use_spect, dtype=self.dtype)
+        self.editing_net = EditingNet(self.descriptor_nc,
+                                      use_spect=self.use_spect, dtype=self.dtype)
 
     def __call__(self, input_image: Array, driving_source: Array,
-                 stage: Optional[str] = None) -> Dict[str, Array]:
-        """input_image (B, H, W, 3); driving_source (B, coeff_nc, T_window)."""
+                 stage: Optional[str] = None, train: bool = False
+                 ) -> Dict[str, Array]:
+        """input_image (B, H, W, 3); driving_source (B, coeff_nc, T_window).
+
+        ``train`` only matters with ``use_spect=True``: it updates the
+        power-iteration state (requires ``mutable=['batch_stats']``)."""
         descriptor = self.mapping_net(driving_source)
-        output = dict(self.warpping_net(input_image, descriptor))
+        output = dict(self.warpping_net(input_image, descriptor, train))
         if stage != "warp":
             output["fake_image"] = self.editing_net(
-                input_image, output["warp_image"], descriptor)
+                input_image, output["warp_image"], descriptor, train)
         return output

@@ -130,6 +130,22 @@ class PerceptualLoss:
         self.use_style_loss = use_style_loss
         self.weight_style = weight_style_to_perceptual
         self.network = network
+        # smallest input the deepest tap can survive: each 'M' before it
+        # halves the resolution, and pooling a 1-px map produces an EMPTY
+        # tensor whose mean is NaN (the torch reference would error instead;
+        # we skip scales that are too small - only reachable at tiny
+        # resolutions the reference never trains at).
+        pools = 0
+        deepest = max(VGG19_TAPS[n] for n in self.layers) if network != "l1" else 0
+        conv_idx = 0
+        for v in _VGG19_CFG:
+            if v == "M":
+                pools += 1
+            else:
+                if conv_idx == deepest:
+                    break
+                conv_idx += 1
+        self._min_size = 2 ** pools
         if network == "l1":
             self.model = None
             self.params = None
@@ -149,6 +165,8 @@ class PerceptualLoss:
         loss = 0.0
         style_loss = 0.0
         for scale in range(self.num_scales):
+            if min(inp.shape[1], inp.shape[2]) < self._min_size:
+                break  # deepest tap would pool to an empty map (NaN)
             fi = self.model.apply(self.params, inp)
             ft = self.model.apply(self.params, target)
             for name in self.layers:

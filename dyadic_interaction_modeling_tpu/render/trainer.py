@@ -28,6 +28,7 @@ import optax
 
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import get_logger
+from ..utils.observability import MetricsWriter
 from .generator import FaceGenerator
 from .perceptual import PerceptualLoss
 
@@ -82,6 +83,15 @@ class FaceTrainer:
                                          network=perceptual_network,
                                          vgg_params=vgg_params)
         self._steps = {}
+        # tensorboardX-equivalent observability (util/meters.py:103)
+        self.writer = MetricsWriter(
+            os.path.join(save_dir, "logs"),
+            hparams=dict(pretrain_warp_iteration=pretrain_warp_iteration,
+                         weight_perceptual_warp=weight_perceptual_warp,
+                         weight_perceptual_final=weight_perceptual_final,
+                         base_lr=base_lr, lr_step=lr_step, lr_gamma=lr_gamma,
+                         perceptual_network=perceptual_network))
+        self._ema_forward = None
 
     # --- jitted steps (one per stage) ---
 
@@ -162,6 +172,20 @@ class FaceTrainer:
         self.opt_state = self.tx.init(self.params)
         return True
 
+    def save_image_grid(self, data: Dict[str, jnp.ndarray]) -> str:
+        """Per-snapshot visual: rows of [source, warp, fake, target] from the
+        EMA generator (trainers/base.py:95-145 image grids)."""
+        if self._ema_forward is None:
+            self._ema_forward = jax.jit(
+                lambda p, img, sem: self.model.apply({"params": p}, img, sem))
+        out = self._ema_forward(self.ema_params, data["source_image"],
+                                data["target_semantics"])
+        rows = [data["source_image"], out["warp_image"],
+                out.get("fake_image", out["warp_image"]), data["target_image"]]
+        n = int(data["source_image"].shape[0])
+        return self.writer.add_image_grid("visualization", rows,
+                                          self.iteration, nrow=n)
+
     def train(self, loader: Iterable, max_epochs: int = 1,
               snapshot_iter: int = 625, logging_iter: int = 100) -> None:
         """Epoch loop with the reference's 2-hour launch limit
@@ -174,8 +198,10 @@ class FaceTrainer:
                 if self.iteration % logging_iter == 0:
                     msg = " ".join(f"{k} {v:.4f}" for k, v in losses.items())
                     self.logger.info(f"epoch {epoch} iter {self.iteration}: {msg}")
+                    self.writer.add_scalars(losses, self.iteration)
                 if self.iteration % snapshot_iter == 0:
                     self.save()
+                    self.save_image_grid(data)
                 if time.time() - t0 > self.max_seconds:
                     self.logger.info("wall-clock limit reached; checkpointing")
                     self.save()

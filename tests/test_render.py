@@ -191,3 +191,134 @@ def test_perceptual_distance_lpips_style():
     dab = np.asarray(d(a, b))
     assert daa.shape == (2,)
     assert (daa < 1e-6).all() and (dab > daa).all()
+
+
+def test_use_spect_forward_and_grad():
+    """use_spect=True (base_function.py:151-156 spectral_norm on every
+    ADAIN/Fine block conv): forward + one grad step with the power-iteration
+    state in batch_stats."""
+    model = FaceGenerator(flame_coeff_nc=58, coeff_nc=73, descriptor_nc=32,
+                          mapping_layers=2, use_spect=True)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3)) * 0.1
+    sem = jax.random.normal(jax.random.PRNGKey(1), (1, 58, 27))
+    variables = model.init(jax.random.PRNGKey(2), img, sem)
+    assert "batch_stats" in variables  # spectral-norm u/v state exists
+
+    out, updated = model.apply(variables, img, sem, None, True,
+                               mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(out["fake_image"])).all()
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params,
+                            "batch_stats": updated["batch_stats"]},
+                           img, sem, None, True, mutable=["batch_stats"])
+        return jnp.mean(jnp.square(o["fake_image"] - img))
+
+    g = jax.grad(loss_fn)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
+
+    # off by default: no batch_stats, same call signature works
+    model_off = FaceGenerator(flame_coeff_nc=58, coeff_nc=73, descriptor_nc=32,
+                              mapping_layers=2)
+    v_off = model_off.init(jax.random.PRNGKey(2), img, sem)
+    assert "batch_stats" not in v_off
+
+
+def test_vgg19_importer_torchvision_layout():
+    """torch_vgg19_to_flax vs a plain-torch VGG19 features trunk built with
+    torchvision's exact module indices (features.0, .2, 'M' at .4, ...)."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers, in_c = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=False))
+            in_c = v
+    features = tnn.Sequential(*layers).eval()
+    torch.manual_seed(0)
+    for m in features:
+        if isinstance(m, tnn.Conv2d):
+            tnn.init.normal_(m.weight, std=0.05)
+            tnn.init.normal_(m.bias, std=0.05)
+    sd = {f"features.{i}.{k}": v for i, m in enumerate(features)
+          for k, v in m.state_dict().items()}
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        VGG19Features, torch_vgg19_to_flax, VGG19_TAPS)
+
+    taps = ["relu_1_1", "relu_2_1", "relu_3_1", "relu_4_1", "relu_5_1"]
+    flax_model = VGG19Features(taps)
+    params = torch_vgg19_to_flax(sd)
+
+    x = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32) * 0.5
+    feats = flax_model.apply(params, jnp.asarray(x))
+
+    with torch.no_grad():
+        h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        tv_feats = {}
+        # torchvision relu indices for the taps
+        relu_after = {"relu_1_1": 1, "relu_2_1": 6, "relu_3_1": 11,
+                      "relu_4_1": 20, "relu_5_1": 29}
+        for i, m in enumerate(features):
+            h = m(h)
+            for name, idx in relu_after.items():
+                if i == idx:
+                    tv_feats[name] = h.numpy().transpose(0, 2, 3, 1)
+    for name in taps:
+        np.testing.assert_allclose(np.asarray(feats[name]), tv_feats[name],
+                                   rtol=1e-4, atol=1e-4)
+
+    # coverage: every conv in the flax trunk got its torchvision weights
+    assert set(params["params"].keys()) == {f"conv_{i}" for i in range(16)}
+
+
+def test_trainer_with_vgg_dict_writes_grids_and_scalars(tmp_path):
+    """Trainer runs with a real-format (torchvision-layout) VGG state_dict
+    and writes per-snapshot image grids + scalar logs (meters.py:103)."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    # tiny synthetic torchvision-format dict (full 16 convs, random weights)
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    sd, i, in_c = {}, 0, 3
+    torch.manual_seed(1)
+    for v in cfg:
+        if v == "M":
+            i += 1
+            continue
+        # He-scaled so 16 layers of random features stay bounded
+        std = (2.0 / (in_c * 9)) ** 0.5
+        sd[f"features.{i}.weight"] = torch.randn(v, in_c, 3, 3) * std
+        sd[f"features.{i}.bias"] = torch.randn(v) * 0.01
+        in_c = v
+        i += 2
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import torch_vgg19_to_flax
+
+    vgg_params = torch_vgg19_to_flax(sd)
+    model = FaceGenerator(flame_coeff_nc=58, coeff_nc=73, descriptor_nc=32,
+                          mapping_layers=2)
+    ds = synthetic_render_dataset(n_clips=2, frames_per_clip=4, resolution=32)
+    sample = next(ds.batches(2, 1))
+    params = model.init(jax.random.PRNGKey(0), sample["source_image"],
+                        sample["source_semantics"])
+    trainer = FaceTrainer(model, params, pretrain_warp_iteration=1,
+                          vgg_params=vgg_params, save_dir=str(tmp_path))
+    trainer.train(ds.batches(2, 3), max_epochs=1, snapshot_iter=2,
+                  logging_iter=1)
+    import glob
+    grids = glob.glob(str(tmp_path / "logs" / "images" / "*.png"))
+    assert grids, "no image grid written"
+    scalars = (tmp_path / "logs" / "scalars.jsonl").read_text().strip().splitlines()
+    assert any('"perceptual_warp"' in line for line in scalars)
+    import json as _json
+    for line in scalars:
+        assert np.isfinite(_json.loads(line)["value"])
