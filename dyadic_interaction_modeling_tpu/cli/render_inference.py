@@ -1,0 +1,104 @@
+"""PIRender batch inference entry
+(reference: ``code/Pirender/inference_newmodel.py:339-405``).
+
+Twin invocation::
+
+    python -m dyadic_interaction_modeling_tpu.cli.render_inference \
+        --checkpoint <trainer ckpt> --source-image src.png \
+        --coeff-dir <exported EMOCA dir> --out ./render_out
+
+Renders fake/warp PNG frames from a source image driven by an exported
+coefficient directory (the postprocess/emoca2flame output layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..render.generator import FaceGenerator
+
+from ..utils.checkpoint import load_checkpoint
+from .common import setup
+
+
+def _load_source_image(path: str, resolution: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((resolution, resolution))
+    return np.asarray(img, dtype=np.float32) / 127.5 - 1.0
+
+
+def _synthetic_inputs(root: str, resolution: int, frames: int = 6):
+    rng = np.random.RandomState(0)
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    src = os.path.join(root, "source.png")
+    Image.fromarray(rng.randint(0, 255, (resolution, resolution, 3),
+                                dtype=np.uint8)).save(src)
+    coeff_dir = os.path.join(root, "clip0")
+    for i in range(frames):
+        d = os.path.join(coeff_dir, f"{i:06d}")
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "pose.npy"), rng.randn(6).astype(np.float32) * 0.1)
+        np.save(os.path.join(d, "exp.npy"), rng.randn(50).astype(np.float32) * 0.3)
+    return src, coeff_dir
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="PIRender inference")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="FaceTrainer checkpoint (uses net_G_ema)")
+    parser.add_argument("--source-image", type=str, default=None)
+    parser.add_argument("--coeff-dir", type=str, default=None)
+    parser.add_argument("--out", type=str, default="./render_out")
+    parser.add_argument("--resolution", type=int, default=64)
+    parser.add_argument("--coeff-nc", type=int, default=58)
+    parser.add_argument("--semantic-radius", type=int, default=13)
+    parser.add_argument("--synthetic", action="store_true")
+    args = parser.parse_args(argv)
+    logger = setup(args)
+
+    if args.synthetic and (args.source_image is None or args.coeff_dir is None):
+        args.source_image, args.coeff_dir = _synthetic_inputs(
+            os.path.join(args.out, "_synthetic_in"), args.resolution)
+
+    from ..render.data import load_coeff_dir_clip
+
+    coeffs = load_coeff_dir_clip(args.coeff_dir)
+    coeff_nc = coeffs.shape[-1]  # 56 (pose+exp) or 58+ with cam/shape merged
+    model = FaceGenerator(flame_coeff_nc=coeff_nc, coeff_nc=73,
+                          descriptor_nc=32 if args.synthetic else 256,
+                          mapping_layers=2 if args.synthetic else 3)
+    src = _load_source_image(args.source_image, args.resolution)
+    if args.checkpoint:
+        payload = load_checkpoint(args.checkpoint)["params"]
+        params = payload.get("net_G_ema", payload)
+    else:
+        dummy_sem = np.zeros((1, coeff_nc, 2 * args.semantic_radius + 1),
+                             np.float32)
+        params = model.init(jax.random.PRNGKey(0), src[None], dummy_sem)["params"]
+        logger.warning("no --checkpoint: rendering with a random generator")
+    from ..render.inference import render_clip
+
+    out = render_clip(model, params, src, coeffs,
+                      semantic_radius=args.semantic_radius)
+    from PIL import Image
+
+    for kind in ("fake_image", "warp_image"):
+        kdir = os.path.join(args.out, kind.split("_")[0])
+        os.makedirs(kdir, exist_ok=True)
+        for i, frame in enumerate(out[kind]):
+            arr = ((np.clip(frame, -1, 1) + 1) * 127.5).astype(np.uint8)
+            Image.fromarray(arr).save(os.path.join(kdir, f"{i:05d}.png"))
+    logger.info(f"rendered {out['fake_image'].shape[0]} frames to {args.out} "
+                f"(fake/ + warp/)")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""PIRender training entry (reference: ``code/Pirender/train.py:38-110``).
+
+Twin invocation::
+
+    python -m dyadic_interaction_modeling_tpu.cli.render_train \
+        --save-path ./runs_pirender [--vgg-weights vgg19.pth] [--synthetic]
+
+Reproduces: auto-resume from ``latest_checkpoint.txt``, the two-stage
+warp->gen schedule, the 2-hour wall-clock limit, snapshot image grids and
+scalar logs (tensorboardX-equivalent, utils/observability).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from ..render.data import synthetic_render_dataset
+from ..render.generator import FaceGenerator
+from ..render.trainer import FaceTrainer
+from .common import setup
+
+
+def load_vgg_weights(path):
+    """torchvision-format vgg19 state_dict (.pth) -> flax params."""
+    import torch
+
+    from ..render.perceptual import torch_vgg19_to_flax
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return torch_vgg19_to_flax(sd)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="PIRender training")
+    parser.add_argument("--save-path", type=str, default="./runs_pirender")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--resolution", type=int, default=64)
+    parser.add_argument("--coeff-nc", type=int, default=58)
+    parser.add_argument("--semantic-radius", type=int, default=13)
+    parser.add_argument("--use-spect", action="store_true")
+    parser.add_argument("--pretrain-warp-iteration", type=int, default=2)
+    parser.add_argument("--max-epochs", type=int, default=1)
+    parser.add_argument("--steps-per-epoch", type=int, default=4)
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--snapshot-iter", type=int, default=2)
+    parser.add_argument("--logging-iter", type=int, default=1)
+    parser.add_argument("--max-seconds", type=float, default=2 * 3600,
+                        help="wall-clock limit (train.py:90-110)")
+    parser.add_argument("--vgg-weights", type=str, default=None,
+                        help="torchvision vgg19 state_dict (.pth); without it "
+                             "the perceptual loss uses random VGG features")
+    parser.add_argument("--perceptual", type=str, default="vgg19",
+                        choices=["vgg19", "l1"])
+    args = parser.parse_args(argv)
+    logger = setup(args)
+
+    if not args.synthetic:
+        raise SystemExit("real-data rendering training needs the ViCo frame "
+                         "dataset mounted; run with --synthetic or build a "
+                         "FramePairDataset from your clips (render/data.py)")
+
+    ds = synthetic_render_dataset(n_clips=2, frames_per_clip=8,
+                                  resolution=args.resolution,
+                                  coeff_dim=args.coeff_nc,
+                                  semantic_radius=args.semantic_radius)
+    model = FaceGenerator(flame_coeff_nc=args.coeff_nc, coeff_nc=73,
+                          descriptor_nc=32, mapping_layers=2,
+                          use_spect=args.use_spect)
+    sample = next(ds.batches(2, 1))
+    params = model.init(jax.random.PRNGKey(0), sample["source_image"],
+                        sample["source_semantics"])
+    vgg_params = load_vgg_weights(args.vgg_weights) if args.vgg_weights else None
+    trainer = FaceTrainer(model, params,
+                          pretrain_warp_iteration=args.pretrain_warp_iteration,
+                          vgg_params=vgg_params,
+                          perceptual_network=args.perceptual,
+                          save_dir=args.save_path,
+                          max_seconds=args.max_seconds,
+                          logger=logger)
+    if trainer.load_latest():
+        logger.info(f"resumed from iteration {trainer.iteration}")
+    trainer.train(ds.batches(args.batch_size, args.steps_per_epoch),
+                  max_epochs=args.max_epochs,
+                  snapshot_iter=args.snapshot_iter,
+                  logging_iter=args.logging_iter)
+    logger.info(f"done at iteration {trainer.iteration}; "
+                f"checkpoints + logs under {args.save_path}")
+    return trainer
+
+
+if __name__ == "__main__":
+    main()
