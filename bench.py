@@ -5,12 +5,20 @@ frames/sec/chip - SLMFT at full reference dims (dim 384 + 768 audio, depth 4,
 512 codes) generating 255 listener frames per 256-frame clip via the
 KV-cached ``lax.scan`` decoder, on the real TPU chip.
 
-``vs_baseline`` compares against the reference *algorithm* on CPU: an AR loop
-that re-runs the full decoder forward over the whole prefix for every
-generated token (x-transformers ``AutoregressiveWrapper.generate`` semantics
-used by ``test_s2s_pretrain.py``). The repo publishes no numbers
-(BASELINE.md), so the baseline is self-measured once and cached in
-``bench_baseline.json``.
+``vs_baseline`` is LIKE-FOR-LIKE: same batch, same length, same precision,
+same chip - against the reference's *execution model*, a KV-cached decode
+driven by a per-token python loop with one device call per token
+(x-transformers ``AutoregressiveWrapper.generate``; the library caches KV,
+so the honest baseline grants it that). The speedup is therefore purely the
+fused-``lax.scan``-decode win (no per-token dispatch / launch round trips),
+not a batch-size or hardware artifact.
+
+Secondary fields: ``hbm_roofline_fraction`` (analytic decode traffic - self
+cache + cross K/V + weight reads - over measured time vs the v5e's 819 GB/s
+peak) and ``vs_cpu_reference_b1_l64`` (the reference algorithm on host CPU
+fp32 at B=1 L=64 - a different-B number, kept for continuity and clearly
+labeled). Both baselines are self-measured (the repo publishes no numbers,
+BASELINE.md) and cached in ``bench_baseline.json``.
 """
 
 from __future__ import annotations
@@ -141,21 +149,110 @@ def measure_cpu_reference_baseline(model, slm_cfg, params) -> float:
     return b * (l - 1) / dt
 
 
-def get_baseline() -> float:
+def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
+    """Reference execution model, like-for-like: KV-cached decode at the SAME
+    B, L, dtype and chip, but driven token-by-token from python with one
+    device call per token (the x-transformers ``.generate`` loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyadic_interaction_modeling_tpu.models.slm import SLMFT
+    from dyadic_interaction_modeling_tpu.models.xtrans import (
+        TokenDecoder,
+        init_decoder_cache,
+        top_k_filter,
+    )
+
+    v_s, v_l, v_a, mask = _batch(B, L)
+    ctx, prompt = model.apply({"params": params}, v_s, v_l, v_a, mask,
+                              method=SLMFT.encode_context)
+    dec = TokenDecoder(num_tokens=slm_cfg.num_tokens,
+                       dim=slm_cfg.dim + slm_cfg.dim_audio,
+                       max_seq_len=slm_cfg.dec_max_seq_len,
+                       depth=slm_cfg.dec_depth, heads=slm_cfg.dec_heads,
+                       use_abs_pos_emb=False, dtype=jnp.bfloat16)
+    dparams = {"params": params["decoder_joint"]}
+    cross_kv = jax.jit(lambda c: dec.apply(dparams, c,
+                                           method=TokenDecoder.cross_kv))(ctx)
+
+    @jax.jit
+    def step(tok, cache, t, rng):
+        logits, cache = dec.apply(dparams, tok, cache, t, cross_kv, mask,
+                                  method=TokenDecoder.decode_step)
+        rng, sub = jax.random.split(rng)
+        filt = top_k_filter(logits.astype(jnp.float32), 0.1)
+        nxt = jax.random.categorical(sub, filt, axis=-1).astype(jnp.int32)
+        return nxt[:, None], cache, rng
+
+    def run_loop():
+        cache = init_decoder_cache(B, L, slm_cfg.dec_depth, slm_cfg.dec_heads,
+                                   dtype=jnp.bfloat16)
+        tok, rng = prompt.astype(jnp.int32), jax.random.PRNGKey(11)
+        for t in range(L - 1):
+            tok, cache, rng = step(tok, cache, jnp.int32(t), rng)
+        return float(jnp.sum(tok))  # 4-byte fence (axon: see note above)
+
+    run_loop()  # compile
+    t0 = time.perf_counter()
+    run_loop()
+    dt = time.perf_counter() - t0
+    return B * (L - 1) / dt
+
+
+def decode_hbm_traffic_bytes(params, slm_cfg, b, l, bytes_per=2) -> int:
+    """Analytic HBM traffic of the 255-step cached decode: growing self-KV
+    reads + full cross-K/V reads + decoder weight reads per step."""
+    import jax
+
+    wbytes = sum(x.size for x in jax.tree_util.tree_leaves(
+        params["decoder_joint"])) * bytes_per
+    per_tok = b * slm_cfg.dec_heads * 64 * 2 * slm_cfg.dec_depth * bytes_per
+    cache_reads = per_tok * (l * (l - 1) // 2)
+    cross_reads = per_tok * l * (l - 1)
+    weight_reads = wbytes * (l - 1)
+    return cache_reads + cross_reads + weight_reads
+
+
+V5E_HBM_PEAK = 819e9  # bytes/s
+
+
+def _load_cache() -> dict:
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            return float(json.load(f)["cpu_reference_frames_per_sec"])
+            return json.load(f)
+    return {}
+
+
+def get_cpu_reference() -> float:
+    cache = _load_cache()
+    if "cpu_reference_frames_per_sec" in cache:
+        return float(cache["cpu_reference_frames_per_sec"])
     import jax.numpy as jnp
 
     model32, slm_cfg32 = _make_model(dtype=jnp.float32)  # baseline stays fp32
     params32 = _init_params(model32)
     fps = measure_cpu_reference_baseline(model32, slm_cfg32, params32)
+    cache["cpu_reference_frames_per_sec"] = fps
+    cache["cpu_how"] = ("full-reforward AR decode (reference algorithm, jitted) "
+                        "on host CPU, SLMFT full dims, B=1 L=64")
     with open(BASELINE_FILE, "w") as f:
-        json.dump({
-            "cpu_reference_frames_per_sec": fps,
-            "how": "full-reforward AR decode (reference algorithm, jitted) on host "
-                   "CPU, SLMFT full dims, B=1 L=64",
-        }, f, indent=2)
+        json.dump(cache, f, indent=2)
+    return fps
+
+
+def get_tpu_loop_baseline(model, slm_cfg, params) -> float:
+    cache = _load_cache()
+    key = f"tpu_python_loop_frames_per_sec_B{B}_L{L}"
+    if key in cache:
+        return float(cache[key])
+    fps = measure_tpu_python_loop_baseline(model, slm_cfg, params)
+    cache[key] = fps
+    cache["tpu_loop_how"] = ("KV-cached decode, per-token python loop, one "
+                             "device call per token - same B/L/dtype/chip as "
+                             "the headline (x-transformers generate execution "
+                             "model)")
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(cache, f, indent=2)
     return fps
 
 
@@ -163,12 +260,18 @@ def main():
     model, slm_cfg = _make_model()
     params = _init_params(model)
     fps = measure_tpu_throughput(model, slm_cfg, params)
-    baseline = get_baseline()
+    loop_fps = get_tpu_loop_baseline(model, slm_cfg, params)
+    cpu_fps = get_cpu_reference()
+    traffic = decode_hbm_traffic_bytes(params, slm_cfg, B, L)
+    achieved_bw = traffic / (B * (L - 1) / fps)
     print(json.dumps({
         "metric": "listener_gen_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline, 2),
+        "vs_baseline": round(fps / loop_fps, 2),
+        "baseline": f"same-B/L/dtype KV-cached per-token python-loop decode on this chip (B={B}, L={L}, bf16)",
+        "hbm_roofline_fraction": round(achieved_bw / V5E_HBM_PEAK, 3),
+        "vs_cpu_reference_b1_l64": round(fps / cpu_fps, 2),
     }))
 
 

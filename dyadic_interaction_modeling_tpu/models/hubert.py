@@ -44,22 +44,126 @@ def interpolate_to_length(features: Array, new_t: int) -> Array:
     return out[0] if squeeze else out
 
 
-def hf_hubert_to_flax(state_dict: Mapping[str, Any], cfg: Optional[W2VConfig] = None
-                      ) -> Dict:
-    """HF ``HubertModel`` / s3prl upstream state_dict -> flax params.
+# fairseq-HuBERT pretrain-only parameters with no inference role: the masked
+# target codebook + projection (fairseq hubert.py). Silently absent from the
+# flax trunk BY DESIGN; everything else must map or the import fails.
+HUBERT_DROP_KEYS = ("label_embs_concat", "final_proj.weight", "final_proj.bias")
 
-    HF HuBERT lacks wav2vec2's masked_spec_embed-adjacent fields under the
-    same names; keys are normalised first.
+
+def normalize_hubert_keys(state_dict: Mapping[str, Any]
+                          ) -> tuple[Dict[str, Any], list]:
+    """s3prl / fairseq / HF ``HubertModel`` layouts -> HF-wav2vec2-style keys.
+
+    Handles the IEMOCAP-finetuned downstream ckpt format the reference loads
+    (``torch.load(ckpt)['Upstream']`` re-prefixed with ``upstream.``,
+    biwi.py:85-89): the s3prl UpstreamExpert wraps the fairseq HubertModel as
+    ``model.``, whose layout differs from HF:
+
+    =================================  ==================================
+    fairseq / s3prl                    HF wav2vec2/hubert
+    =================================  ==================================
+    feature_extractor.conv_layers.i.0  feature_extractor.conv_layers.i.conv
+    feature_extractor.conv_layers.0.2  feature_extractor.conv_layers.0.layer_norm
+    layer_norm (top level)             feature_projection.layer_norm
+    post_extract_proj                  feature_projection.projection
+    mask_emb                           masked_spec_embed
+    encoder.pos_conv.0                 encoder.pos_conv_embed.conv
+    encoder.layers.i.self_attn         encoder.layers.i.attention
+    encoder.layers.i.self_attn_layer_norm  encoder.layers.i.layer_norm
+    encoder.layers.i.fc1 / fc2         ...feed_forward.intermediate_dense / output_dense
+    =================================  ==================================
+
+    Returns (normalized dict, dropped original keys). Every input key is
+    either normalized or recorded as dropped - nothing vanishes silently.
+    """
+    import re
+
+    sd: Dict[str, Any] = {}
+    dropped = []
+    for orig, v in state_dict.items():
+        k = orig
+        while True:  # strip nesting wrappers: upstream.model.hubert....
+            for pre in ("upstream.", "model.", "hubert."):
+                if k.startswith(pre):
+                    k = k[len(pre):]
+                    break
+            else:
+                break
+        if any(k == d or k.startswith(d) for d in HUBERT_DROP_KEYS):
+            dropped.append(orig)
+            continue
+        k = re.sub(r"^feature_extractor\.conv_layers\.(\d+)\.0\.",
+                   r"feature_extractor.conv_layers.\1.conv.", k)
+        k = re.sub(r"^feature_extractor\.conv_layers\.0\.2\.",
+                   "feature_extractor.conv_layers.0.layer_norm.", k)
+        if k.startswith("layer_norm."):  # fairseq's pre-projection LN
+            k = "feature_projection." + k
+        k = k.replace("post_extract_proj.", "feature_projection.projection.")
+        if k == "mask_emb":
+            k = "masked_spec_embed"
+        k = k.replace("encoder.pos_conv.0.", "encoder.pos_conv_embed.conv.")
+        k = re.sub(r"^(encoder\.layers\.\d+)\.self_attn_layer_norm\.",
+                   r"\1.layer_norm.", k)
+        k = re.sub(r"^(encoder\.layers\.\d+)\.self_attn\.", r"\1.attention.", k)
+        k = re.sub(r"^(encoder\.layers\.\d+)\.fc1\.",
+                   r"\1.feed_forward.intermediate_dense.", k)
+        k = re.sub(r"^(encoder\.layers\.\d+)\.fc2\.",
+                   r"\1.feed_forward.output_dense.", k)
+        sd[k] = v
+    return sd, dropped
+
+
+def _expected_hf_keys(cfg: W2VConfig) -> set:
+    """Every key ``hf_wav2vec2_to_flax`` consumes (weight-norm variants
+    counted as alternatives)."""
+    keys = set()
+    for i in range(len(cfg.conv_dim)):
+        keys.add(f"feature_extractor.conv_layers.{i}.conv.weight")
+        if cfg.conv_bias:
+            keys.add(f"feature_extractor.conv_layers.{i}.conv.bias")
+    if cfg.feat_extract_norm == "group":
+        keys |= {"feature_extractor.conv_layers.0.layer_norm.weight",
+                 "feature_extractor.conv_layers.0.layer_norm.bias"}
+    keys |= {"feature_projection.layer_norm.weight",
+             "feature_projection.layer_norm.bias",
+             "feature_projection.projection.weight",
+             "feature_projection.projection.bias",
+             "masked_spec_embed",
+             "encoder.layer_norm.weight", "encoder.layer_norm.bias",
+             "encoder.pos_conv_embed.conv.bias",
+             "encoder.pos_conv_embed.conv.weight",
+             "encoder.pos_conv_embed.conv.weight_g",
+             "encoder.pos_conv_embed.conv.weight_v"}
+    for i in range(cfg.num_hidden_layers):
+        b = f"encoder.layers.{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            keys |= {f"{b}.attention.{proj}.weight", f"{b}.attention.{proj}.bias"}
+        for ln in ("layer_norm", "final_layer_norm"):
+            keys |= {f"{b}.{ln}.weight", f"{b}.{ln}.bias"}
+        for ff in ("feed_forward.intermediate_dense", "feed_forward.output_dense"):
+            keys |= {f"{b}.{ff}.weight", f"{b}.{ff}.bias"}
+    return keys
+
+
+def hf_hubert_to_flax(state_dict: Mapping[str, Any],
+                      cfg: Optional[W2VConfig] = None,
+                      strict: bool = True) -> Dict:
+    """HF ``HubertModel`` / s3prl-IEMOCAP / fairseq state_dict -> flax params.
+
+    ``strict`` (default): raise if any input key neither maps into the trunk
+    nor is a documented pretrain-head drop - a silent key mismatch here would
+    corrupt every BIWI number downstream (VERDICT round-1 weak #5).
     """
     cfg = cfg or hubert_base_config()
-    sd = {}
-    for k, v in state_dict.items():
-        k = k.replace("hubert.", "").replace("upstream.model.", "")
-        sd[k] = v
+    sd, _ = normalize_hubert_keys(state_dict)
+    if strict:
+        unknown = sorted(set(sd) - _expected_hf_keys(cfg)
+                         - {"feature_extractor.conv_layers.0.conv.bias"})
+        if unknown:
+            raise KeyError(f"{len(unknown)} HuBERT keys did not map, e.g. "
+                           f"{unknown[:6]}")
     if "masked_spec_embed" not in sd:
-        import numpy as _np
-
-        sd["masked_spec_embed"] = _np.zeros((cfg.hidden_size,), _np.float32)
+        sd["masked_spec_embed"] = np.zeros((cfg.hidden_size,), np.float32)
     return hf_wav2vec2_to_flax(sd, cfg)
 
 
