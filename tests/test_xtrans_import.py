@@ -394,3 +394,135 @@ def test_importer_rejects_incomplete_checkpoint():
     with pytest.raises(KeyError):
         torch_slm_to_flax({"patch_embed_s": torch.zeros(1, 1, 56)}, cfg, vq_cfg,
                           variant="slmft")
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_converter_checkpoint_import():
+    """EmocaConverter .pt (best_converter.pt shape: reference VQ under
+    speaker_vq. + LSTM/mesh heads) loads with full template coverage."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI
+
+    from dyadic_interaction_modeling_tpu.models.slm import EmocaConverter
+
+    cfg, vq_cfg = _tiny_cfgs()
+    torch.manual_seed(5)
+    ref_vq = stage1_BIWI.VQAutoEncoder(vq_cfg).eval()
+    vdim = 120  # tiny stand-in for 70110
+
+    sd = {f"speaker_vq.{k}": v for k, v in ref_vq.state_dict().items()}
+    sd["vertice_mapping.0.weight"] = torch.randn(56, vdim) * 0.01
+    sd["vertice_mapping.0.bias"] = torch.zeros(56)
+    sd["squasher.0.0.weight"] = torch.randn(56, 56, 5) * 0.05
+    sd["squasher.0.0.bias"] = torch.zeros(56)
+    for name in ("vertice_map_reverse_lstm", "vertice_map_reverse_lstm_2"):
+        lstm = nn.LSTM(input_size=56, hidden_size=384, num_layers=2,
+                       batch_first=True, bidirectional=True)
+        for k, v in lstm.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    for name in ("vertice_map_reverse", "vertice_map_reverse2"):
+        sd[f"{name}.0.weight"] = torch.randn(768, 768) * 0.01
+        sd[f"{name}.0.bias"] = torch.zeros(768)
+        sd[f"{name}.2.weight"] = torch.randn(vdim, 768) * 0.01
+        sd[f"{name}.2.bias"] = torch.zeros(vdim)
+
+    model = EmocaConverter(vq_cfg, vertice_dim=vdim)
+    template = jnp.zeros((2, vdim))
+    v56 = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 56))
+    tpl_params = model.init(jax.random.PRNGKey(1), template, v56)["params"]
+    params = torch_slm_to_flax(sd, cfg, vq_cfg, variant="converter",
+                               params_template=tpl_params)
+    out = model.apply(params, template, v56)
+    assert out.shape == (2, 12, vdim)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # forward parity of the mesh head path vs torch composition
+    with torch.no_grad():
+        dec_ref, _, _ = ref_vq(torch.from_numpy(np.asarray(v56)))
+        lstm = nn.LSTM(input_size=56, hidden_size=384, num_layers=2,
+                       batch_first=True, bidirectional=True)
+        lstm.load_state_dict({k[len("vertice_map_reverse_lstm."):]: v
+                              for k, v in sd.items()
+                              if k.startswith("vertice_map_reverse_lstm.")
+                              and "lstm_2" not in k})
+        h, _ = lstm(dec_ref)
+        head = torch.nn.Sequential(
+            nn.Linear(768, 768), nn.LeakyReLU(0.2), nn.Linear(768, vdim))
+        head[0].weight.data = sd["vertice_map_reverse.0.weight"]
+        head[0].bias.data = sd["vertice_map_reverse.0.bias"]
+        head[2].weight.data = sd["vertice_map_reverse.2.weight"]
+        head[2].bias.data = sd["vertice_map_reverse.2.bias"]
+        out_ref = head(h)
+    # NOTE: converter VQ roundtrip uses the BATCHED forward in both impls
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_speaker_slmft_checkpoint_import():
+    """best_model_biwi_finetune*.pt-shaped dict (SLM stack + converter heads
+    + speaker embedding + W) loads into SpeakerSLMFT and runs."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI
+
+    from dyadic_interaction_modeling_tpu.models.slm import SpeakerSLMFT
+
+    cfg, vq_cfg = _tiny_cfgs()
+    torch.manual_seed(6)
+    ref_vq_s = stage1_BIWI.VQAutoEncoder(vq_cfg).eval()
+    ref_vq_l = stage1_BIWI.VQAutoEncoder(vq_cfg).eval()
+    vdim = 120
+
+    enc_s = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+    enc_l = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+    enc_j = XTContinuousTransformerWrapper(DIM, DIM, DIM, DEPTH, HEADS, MAXLEN)
+    dec = XTAutoregressiveWrapper(XTTransformerWrapper(
+        NTOK, DIM + DIM_A, DEPTH, HEADS, MAXLEN, use_abs_pos_emb=True))
+
+    sd = {}
+    for prefix, module in (("speaker_vq", ref_vq_s), ("listener_vq", ref_vq_l),
+                           ("encoder_s", enc_s), ("encoder_l", enc_l),
+                           ("encoder_joint", enc_j), ("decoder_joint", dec),
+                           ("norm_s", nn.LayerNorm(DIM)),
+                           ("norm_l", nn.LayerNorm(DIM)),
+                           ("norm", nn.LayerNorm(DIM))):
+        for k, v in module.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    for nm, shape in (("patch_embed_s", (1, 1, 56)), ("patch_embed_l", (1, 1, 56)),
+                      ("patch_embed_dec_s", (1, 1, DIM)),
+                      ("patch_embed_dec_l", (1, 1, DIM))):
+        sd[nm] = torch.zeros(*shape)
+    sd["vertice_mapping.0.weight"] = torch.randn(56, vdim) * 0.01
+    sd["vertice_mapping.0.bias"] = torch.zeros(56)
+    sd["squasher.0.0.weight"] = torch.randn(56, 56, 5) * 0.05
+    sd["squasher.0.0.bias"] = torch.zeros(56)
+    for name in ("vertice_map_reverse_lstm", "vertice_map_reverse_lstm_2"):
+        lstm = nn.LSTM(input_size=56, hidden_size=384, num_layers=2,
+                       batch_first=True, bidirectional=True)
+        for k, v in lstm.state_dict().items():
+            sd[f"{name}.{k}"] = v
+    for name in ("vertice_map_reverse", "vertice_map_reverse2"):
+        sd[f"{name}.0.weight"] = torch.randn(768, 768) * 0.01
+        sd[f"{name}.0.bias"] = torch.zeros(768)
+        sd[f"{name}.2.weight"] = torch.randn(vdim, 768) * 0.01
+        sd[f"{name}.2.bias"] = torch.zeros(vdim)
+    sd["speaker_embed.weight"] = torch.randn(15, DIM) * 0.02
+    sd["W"] = torch.randn(2)
+
+    model = SpeakerSLMFT(cfg, vq_cfg, vertice_dim=vdim)
+    b, l = 2, 12
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    verts = jax.random.normal(ks[0], (b, l, vdim))
+    emoca = jax.random.normal(ks[1], (b, l, 56))
+    aud = jax.random.normal(ks[2], (b, l, DIM_A))
+    mask = jnp.ones((b, l), dtype=bool)
+    template = jnp.zeros((b, vdim))
+    sids = jnp.zeros((b,), jnp.int32)
+    tpl = model.init(jax.random.PRNGKey(8), verts, emoca, aud, mask,
+                     template, sids)["params"]
+    params = torch_slm_to_flax(sd, cfg, vq_cfg, variant="speaker_slmft",
+                               params_template=tpl)
+    out = model.apply(params, verts, emoca, aud, mask, template, sids)
+    assert np.isfinite(float(out.total_loss))
