@@ -175,8 +175,10 @@ def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
     cross_kv = jax.jit(lambda c: dec.apply(dparams, c,
                                            method=TokenDecoder.cross_kv))(ctx)
 
+    # NOTE: cross_kv/params MUST be jit arguments, not closures - closed-over
+    # arrays become compile-time constants and these are GBs.
     @jax.jit
-    def step(tok, cache, t, rng):
+    def step(dparams, cross_kv, tok, cache, t, rng):
         logits, cache = dec.apply(dparams, tok, cache, t, cross_kv, mask,
                                   method=TokenDecoder.decode_step)
         rng, sub = jax.random.split(rng)
@@ -189,7 +191,8 @@ def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
                                    dtype=jnp.bfloat16)
         tok, rng = prompt.astype(jnp.int32), jax.random.PRNGKey(11)
         for t in range(L - 1):
-            tok, cache, rng = step(tok, cache, jnp.int32(t), rng)
+            tok, cache, rng = step(dparams, cross_kv, tok, cache,
+                                   jnp.int32(t), rng)
         return float(jnp.sum(tok))  # 4-byte fence (axon: see note above)
 
     run_loop()  # compile

@@ -386,3 +386,33 @@ def _finish(tree: Dict, params_template: Optional[Dict]) -> Dict:
                              f"checkpoint {np.shape(v)} vs model {np.shape(ref)}")
         _set(out, path, np.asarray(v, dtype=np.asarray(ref).dtype))
     return {"params": out}
+
+
+def torch_listener_generator_to_flax(state_dict: Mapping[str, Any], cfg,
+                                     vq_cfg_speaker, vq_cfg_listener,
+                                     params_template: Optional[Dict] = None
+                                     ) -> Dict:
+    """Reference ListenerGenerator (seq2seq.py:138-236) state_dict -> flax.
+
+    Layout: speaker_vq./listener_vq. (VQ), generator.encoder.
+    (ContinuousTransformerWrapper), generator.decoder.net.
+    (AutoregressiveWrapper(TransformerWrapper)), id embeddings + fc heads.
+    """
+    sd = normalize_legacy_keys(state_dict)
+    tree: Dict = {}
+    for vq, vq_cfg in (("speaker_vq", vq_cfg_speaker),
+                       ("listener_vq", vq_cfg_listener)):
+        sub = _sub_state_dict(sd, vq)
+        if sub:
+            tree[vq] = torch_vq_to_flax(sub, vq_cfg, variant="BIWI")["params"]
+    _xt_continuous(tree, "generator/encoder", sd, "generator.encoder",
+                   cfg.enc_depth, cfg.dim)
+    _xt_token_decoder(tree, "generator/decoder", sd, "generator.decoder.net",
+                      cfg.dec_depth, cfg.dim)
+    for emb in ("speaker_embeddings", "listener_embeddings"):
+        if f"{emb}.weight" in sd:
+            _set(tree, f"{emb}/embedding", _t(sd[f"{emb}.weight"]))
+    for fc in ("fc_speaker", "fc_listener"):
+        if f"{fc}.weight" in sd:
+            _dense(tree, fc, sd, fc)
+    return _finish(tree, params_template)

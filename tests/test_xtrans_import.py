@@ -526,3 +526,60 @@ def test_speaker_slmft_checkpoint_import():
                                params_template=tpl)
     out = model.apply(params, verts, emoca, aud, mask, template, sids)
     assert np.isfinite(float(out.total_loss))
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_listener_generator_checkpoint_import():
+    """seq2seq.py ListenerGenerator checkpoint (generator.encoder /
+    generator.decoder.net / id embeddings / fc heads) loads and runs."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI
+
+    from dyadic_interaction_modeling_tpu.models.listener_generator import (
+        ListenerGenerator,
+    )
+    from dyadic_interaction_modeling_tpu.utils.torch_import import (
+        torch_listener_generator_to_flax,
+    )
+
+    _, vq_cfg = _tiny_cfgs()
+    lg_cfg = C.listener_generator_defaults()
+    lg_cfg.update(dict(dim=DIM, enc_depth=DEPTH, enc_heads=HEADS,
+                       enc_max_seq_len=MAXLEN, dec_num_tokens=NTOK,
+                       dec_depth=DEPTH, dec_heads=HEADS, dec_max_seq_len=MAXLEN,
+                       num_identities=10, id_embed_dim=16))
+    torch.manual_seed(9)
+    ref_vq_s = stage1_BIWI.VQAutoEncoder(vq_cfg).eval()
+    ref_vq_l = stage1_BIWI.VQAutoEncoder(vq_cfg).eval()
+    dim_in = vq_cfg.face_quan_num * vq_cfg.zquant_dim
+
+    enc = XTContinuousTransformerWrapper(dim_in, DIM, DIM, DEPTH, HEADS, MAXLEN)
+    dec = XTAutoregressiveWrapper(XTTransformerWrapper(
+        NTOK, DIM, DEPTH, HEADS, MAXLEN, use_abs_pos_emb=True))
+    sd = {}
+    for prefix, module in (("speaker_vq", ref_vq_s), ("listener_vq", ref_vq_l),
+                           ("generator.encoder", enc),
+                           ("generator.decoder", dec)):
+        for k, v in module.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    sd["speaker_embeddings.weight"] = torch.randn(10, 16) * 0.02
+    sd["listener_embeddings.weight"] = torch.randn(10, 16) * 0.02
+    sd["fc_speaker.weight"] = torch.randn(lg_cfg.enc_max_seq_len, 16) * 0.02
+    sd["fc_speaker.bias"] = torch.zeros(lg_cfg.enc_max_seq_len)
+    sd["fc_listener.weight"] = torch.randn(DIM, 16) * 0.02
+    sd["fc_listener.bias"] = torch.zeros(DIM)
+
+    model = ListenerGenerator(lg_cfg, vq_cfg, vq_cfg)
+    b, l = 2, 12
+    ks = jax.random.split(jax.random.PRNGKey(10), 2)
+    v_s = jax.random.normal(ks[0], (b, l, 56))
+    v_l = jax.random.normal(ks[1], (b, l, 56))
+    mask = jnp.ones((b, l), dtype=bool)
+    sids = jnp.zeros((b,), jnp.int32)
+    lids = jnp.ones((b,), jnp.int32)
+    tpl = model.init(jax.random.PRNGKey(11), v_s, v_l, mask, sids, lids)["params"]
+    params = torch_listener_generator_to_flax(
+        sd, lg_cfg, vq_cfg, vq_cfg, params_template=tpl)
+    out = model.apply(params, v_s, v_l, mask, sids, lids)
+    assert np.isfinite(float(out.loss))
