@@ -20,6 +20,8 @@ from .train_s2s import _batches
 def main(argv=None):
     parser = get_parser("ListenerGenerator evaluation")
     parser.add_argument("--checkpoint", type=str, default=None)
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="reference-format seq2seq .pt")
     parser.add_argument("--batch-size", type=int, default=4)
     args = parser.parse_args(argv)
     logger = setup(args)
@@ -36,6 +38,18 @@ def main(argv=None):
     b0 = next(_batches(val_loader))
     if args.checkpoint:
         params = load_checkpoint(args.checkpoint)["params"]
+    elif args.torch_checkpoint:
+        import torch
+
+        from ..utils.torch_import import torch_listener_generator_to_flax
+
+        sd = torch.load(args.torch_checkpoint, map_location="cpu",
+                        weights_only=True)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        template = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2])["params"]
+        params = torch_listener_generator_to_flax(
+            sd, cfg, vq_cfg, vq_cfg, params_template=template)["params"]
     else:
         params = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2])["params"]
         logger.warning("no --checkpoint given: evaluating random init")
