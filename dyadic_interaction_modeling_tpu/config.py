@@ -289,6 +289,10 @@ def codetalker_defaults() -> CfgNode:
         dataset="BIWI",
         feature_dim=1024,
         vertice_dim=70110,
+        # the stage-2 VQ is the vertex autoencoder: its motion dim IS the
+        # mesh dim (CodeTalker BIWI stage-1; the 56-d in_dim inherited from
+        # the EMOCA VQ defaults would break decode + template addition)
+        in_dim=70110,
         n_head=4,
         num_layers=6,
         period=25,

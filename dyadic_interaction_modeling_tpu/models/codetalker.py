@@ -92,6 +92,10 @@ class CodeTalker(CfgModule):
 
     def setup(self):
         cfg = self.cfg
+        assert cfg.in_dim == cfg.vertice_dim, (
+            f"stage-2 VQ decodes motion of dim in_dim ({cfg.in_dim}); it must "
+            f"equal vertice_dim ({cfg.vertice_dim}) - the autoencoder here is "
+            f"the vertex VQ, not the 56-d EMOCA one")
         self.audio_encoder = Wav2Vec2Model(self.w2v_cfg or W2VConfig(),
                                            dtype=self.dtype)
         self.audio_feature_map = nn.Dense(cfg.feature_dim, dtype=self.dtype)

@@ -14,7 +14,11 @@ reductions; see CLAUDE.md platform notes).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dyadic_interaction_modeling_tpu.utils.compilation_cache import (
     enable_persistent_cache,
