@@ -37,6 +37,8 @@ def load_vgg_weights(path):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="PIRender training")
     parser.add_argument("--save-path", type=str, default="./runs_pirender")
+    parser.add_argument("--data-root", type=str, default=None,
+                        help="dir of clip dirs, each with frames/ + coeffs/")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--resolution", type=int, default=64)
     parser.add_argument("--coeff-nc", type=int, default=58)
@@ -58,17 +60,27 @@ def main(argv=None):
     args = parser.parse_args(argv)
     logger = setup(args)
 
-    if not args.synthetic:
-        raise SystemExit("real-data rendering training needs the ViCo frame "
-                         "dataset mounted; run with --synthetic or build a "
-                         "FramePairDataset from your clips (render/data.py)")
+    if args.synthetic:
+        ds = synthetic_render_dataset(n_clips=2, frames_per_clip=8,
+                                      resolution=args.resolution,
+                                      coeff_dim=args.coeff_nc,
+                                      semantic_radius=args.semantic_radius)
+        desc_nc, mapping_layers = 32, 2
+    else:
+        if not args.data_root:
+            raise SystemExit("pass --data-root <dir of clip dirs with frames/ "
+                             "+ coeffs/> or --synthetic")
+        from ..render.data import FramePairDataset, load_clip_dirs
 
-    ds = synthetic_render_dataset(n_clips=2, frames_per_clip=8,
-                                  resolution=args.resolution,
-                                  coeff_dim=args.coeff_nc,
-                                  semantic_radius=args.semantic_radius)
+        clips = load_clip_dirs(args.data_root, resolution=args.resolution)
+        if not clips:
+            raise SystemExit(f"no usable clips under {args.data_root}")
+        args.coeff_nc = clips[0]["coeffs"].shape[-1]
+        ds = FramePairDataset(clips, semantic_radius=args.semantic_radius)
+        desc_nc, mapping_layers = 256, 3
+        logger.info(f"loaded {len(clips)} clips (coeff_nc={args.coeff_nc})")
     model = FaceGenerator(flame_coeff_nc=args.coeff_nc, coeff_nc=73,
-                          descriptor_nc=32, mapping_layers=2,
+                          descriptor_nc=desc_nc, mapping_layers=mapping_layers,
                           use_spect=args.use_spect)
     sample = next(ds.batches(2, 1))
     params = model.init(jax.random.PRNGKey(0), sample["source_image"],

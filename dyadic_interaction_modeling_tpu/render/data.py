@@ -99,3 +99,45 @@ def load_coeff_dir_clip(clip_dir: str, pose_first: bool = True) -> np.ndarray:
                 parts.append(np.load(p).reshape(-1))
         frames.append(np.concatenate(parts, axis=0))
     return np.asarray(frames, dtype=np.float32)
+
+
+def load_clip_dirs(root: str, frames_subdir: str = "frames",
+                   coeffs_subdir: str = "coeffs", resolution: int = 256,
+                   max_clips: int = 0) -> list:
+    """Read real render-training clips from disk into FramePairDataset items.
+
+    Layout (one directory per clip, the ViCo/VoxCeleb export convention):
+
+        root/<clip_id>/frames/00000.png ...     RGB frames
+        root/<clip_id>/coeffs/<frame>/pose.npy, exp.npy[, cam.npy, shape.npy]
+
+    Frames load to [-1, 1] NHWC at ``resolution``; coefficients via
+    ``load_coeff_dir_clip`` (the postprocess/emoca2flame export layout, so a
+    rendered prediction dir is directly trainable). Clips shorter than 2
+    frames or with frame/coeff length mismatch are skipped (the reference's
+    broad-except convention).
+    """
+    from PIL import Image
+
+    clips = []
+    for clip_id in sorted(os.listdir(root)):
+        cdir = os.path.join(root, clip_id)
+        fdir = os.path.join(cdir, frames_subdir)
+        codir = os.path.join(cdir, coeffs_subdir)
+        if not (os.path.isdir(fdir) and os.path.isdir(codir)):
+            continue
+        names = sorted(f for f in os.listdir(fdir)
+                       if f.endswith((".png", ".jpg", ".jpeg")))
+        coeffs = load_coeff_dir_clip(codir)
+        n = min(len(names), coeffs.shape[0])
+        if n < 2:
+            continue
+        frames = np.stack([
+            np.asarray(Image.open(os.path.join(fdir, f)).convert("RGB")
+                       .resize((resolution, resolution)), np.float32)
+            / 127.5 - 1.0
+            for f in names[:n]])
+        clips.append({"frames": frames, "coeffs": coeffs[:n]})
+        if max_clips and len(clips) >= max_clips:
+            break
+    return clips
