@@ -116,3 +116,28 @@ def test_intuitive_control_cli(tmp_path):
     assert n == 3 * (len(intuitive_control.ROT_ORDER)
                      + len(intuitive_control.EXP_ORDER))
     assert len(list(tmp_path.glob("0*.png"))) == n  # excludes _source.png
+
+
+def test_render_train_cli_real_data_layout(tmp_path):
+    """--data-root path: clips from frames/ + coeffs/ dirs (the
+    postprocess/emoca2flame export layout)."""
+    from PIL import Image
+
+    from dyadic_interaction_modeling_tpu.cli import render_train
+
+    rng = np.random.RandomState(0)
+    root = tmp_path / "clips" / "clipA"
+    (root / "frames").mkdir(parents=True)
+    for i in range(6):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(root / "frames" / f"{i:05d}.png")
+        d = root / "coeffs" / f"{i:06d}"
+        d.mkdir(parents=True)
+        np.save(d / "pose.npy", rng.randn(6).astype(np.float32))
+        np.save(d / "exp.npy", rng.randn(50).astype(np.float32))
+    trainer = render_train.main([
+        "--data-root", str(tmp_path / "clips"), "--save-path",
+        str(tmp_path / "runs"), "--perceptual", "l1", "--resolution", "32",
+        "--steps-per-epoch", "2", "--snapshot-iter", "2",
+        "--logging-iter", "1"])
+    assert trainer.iteration == 2
