@@ -19,7 +19,7 @@ host (FD needs scipy sqrtm).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, List, Tuple
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -128,13 +128,17 @@ def evaluate_finetune_epoch(params, model, loader: Iterable, rng
 # ---------------------------------------------------------------------------
 
 
-def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int) -> Callable:
+def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int,
+                         chunk: Optional[int] = 32) -> Callable:
     """Jitted batched generator: (params, batch, rng, n_samples) ->
     (B, N, max_len-1, 56) candidate motions.
 
-    Context is computed once and tiled N times along the batch axis so the
-    N resamples run as ONE generate call (vs the reference's sequential
-    beam loop, x_engine_pt.py:255-268).
+    Context is computed once and SHARED by the N resamples, which run as ONE
+    generate call (vs the reference's sequential beam loop,
+    x_engine_pt.py:255-268): only the prompt is tiled; cross-attention K/V is
+    read once per clip, not once per sample (context_groups). ``chunk``
+    enables the chunked-prefix decode (models/xtrans.py generate_tokens) -
+    output-identical, measured fastest at 32 on the v5e (PERF.md).
     """
     decoder = TokenDecoder(
         num_tokens=slm_cfg.num_tokens, dim=slm_cfg.dim + slm_cfg.dim_audio,
@@ -146,12 +150,10 @@ def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int) -> Callable:
         b, l = src_v.shape[0], src_v.shape[1]
         ctx, prompt = model.apply({"params": params}, src_v, tgt, src_a, mask,
                                   method=SLMFT.encode_context)
-        ctx_t = jnp.tile(ctx, (n_samples, 1, 1))
         prompt_t = jnp.tile(prompt, (n_samples, 1))
-        mask_t = jnp.tile(mask, (n_samples, 1))
         tokens = generate_tokens(
             decoder, {"params": params["decoder_joint"]}, prompt_t, l - 1,
-            ctx_t, mask_t, rng)
+            ctx, mask, rng, context_groups=n_samples, chunk=chunk)
         motion = model.apply({"params": params}, tokens,
                              method=SLMFT.decode_tokens_to_motion)
         # (N*B, L-1, 56) -> (B, N, L-1, 56)
@@ -160,7 +162,8 @@ def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int) -> Callable:
     return jax.jit(generate, static_argnums=(3,))
 
 
-def make_speaker_generator(model, slm_cfg, max_len: int) -> Callable:
+def make_speaker_generator(model, slm_cfg, max_len: int,
+                           chunk: Optional[int] = 32) -> Callable:
     """Batched AR generator for SpeakerSLMFT (the sampled alternative to the
     reference's degenerate teacher-forced beam loop, x_engine_pt.py:319-336).
 
@@ -183,7 +186,7 @@ def make_speaker_generator(model, slm_cfg, max_len: int) -> Callable:
         tokens = generate_tokens(
             decoder, {"params": params["decoder_joint"]},
             jnp.tile(prompt, (n_samples, 1)), l - 1,
-            jnp.tile(ctx, (n_samples, 1, 1)), jnp.tile(mask, (n_samples, 1)), rng)
+            ctx, mask, rng, context_groups=n_samples, chunk=chunk)
         emoca_out = model.apply({"params": params}, tokens, False,
                                 method=SpeakerSLMFT.decode_emoca)[1]
         return emoca_out.reshape(n_samples, b, l - 1, -1).transpose(1, 0, 2, 3)

@@ -58,6 +58,31 @@ def _use_flash(kv_len: int, dim_head: int) -> bool:
     return flash_available()
 
 
+def _use_decode_kernel(kv_len: int, dim_head: int, which: str) -> bool:
+    """Opt-in dispatch to the fused single-step decode-attention kernel
+    (ops/pallas/decode.py). ``DIM_TPU_DECODE_KERNEL`` = ``1`` (both),
+    ``self``, ``cross``, or unset/``0`` (off, the default).
+
+    OFF by default: standalone the kernel matches XLA's step attention at the
+    platform's measured ~360 GB/s bf16 streaming ceiling and reads only the
+    live cache prefix, but inside the generation ``lax.scan`` the custom-call
+    boundary on the scan-carried cache costs ~4x end-to-end (measured
+    B=256/L=256; PERF.md round-2 decode notes). The production bandwidth fix
+    is context sharing (``context_groups``) + chunked-prefix decode, both
+    pure XLA."""
+    import os
+
+    mode = os.environ.get("DIM_TPU_DECODE_KERNEL", "0")
+    if mode not in ("1", "self", "cross") or (
+            mode in ("self", "cross") and mode != which):
+        return False
+    if dim_head not in (64, 128) or kv_len < 128:
+        return False
+    from ..ops.pallas.decode import decode_attention_available
+
+    return decode_attention_available()
+
+
 # ---------------------------------------------------------------------------
 # layers
 # ---------------------------------------------------------------------------
@@ -149,34 +174,80 @@ class XAttention(nn.Module):
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, t, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, t, 0))
         scale = self.dim_head ** -0.5
-        dots = jnp.einsum("bhid,bhjd->bhij", q, cache_k,
-                          preferred_element_type=jnp.float32) * scale
-        lmax = cache_k.shape[2]
-        valid = jnp.arange(lmax)[None, None, None, :] <= t
-        dots = jnp.where(valid, dots, NEG_INF)
-        attn = jax.nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cache_v.dtype), cache_v,
-                         preferred_element_type=jnp.float32).astype(x_t.dtype)
+        b, h, lmax, dh = cache_k.shape
+        if _use_decode_kernel(lmax, self.dim_head, "self"):
+            from ..ops.pallas.decode import decode_attention
+
+            # block_k=64: the decode loop is HBM-bound and the kernel reads
+            # only ceil((t+1)/block_k) blocks - finer blocks read less of the
+            # cache (avg ~62% saved at L=256) at still-chunky DMA sizes
+            o = decode_attention(q.reshape(b * h, 1, dh),
+                                 cache_k.reshape(b * h, lmax, dh),
+                                 cache_v.reshape(b * h, lmax, dh),
+                                 t, scale=scale, block_k=64)
+            out = o.reshape(b, h, 1, dh).astype(x_t.dtype)
+        else:
+            dots = jnp.einsum("bhid,bhjd->bhij", q, cache_k,
+                              preferred_element_type=jnp.float32) * scale
+            valid = jnp.arange(lmax)[None, None, None, :] <= t
+            dots = jnp.where(valid, dots, NEG_INF)
+            attn = jax.nn.softmax(dots, axis=-1)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cache_v.dtype),
+                             cache_v,
+                             preferred_element_type=jnp.float32).astype(x_t.dtype)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = self.to_out(out)
         return out, cache_k, cache_v
 
     def step_cross(self, x_t: Array, k: Array, v: Array,
-                   key_mask: Optional[Array]) -> Array:
-        """Single-token cross-attention against precomputed context K/V."""
-        q = self._split(self._proj(x_t, "to_q"))
+                   key_mask: Optional[Array], groups: int = 1) -> Array:
+        """Single-token cross-attention against precomputed context K/V.
+
+        ``groups > 1``: best-of-N sampling shares one context across N
+        samples - ``x_t`` has batch ``N * B0`` (sample-major, matching
+        ``jnp.tile``) while ``k``/``v``/``key_mask`` carry only ``B0`` rows.
+        The N per-context queries attend as N query rows over ONE K/V read,
+        cutting cross-attention HBM traffic N-fold vs tiling K/V (the decode
+        loop is cache-bandwidth bound, PERF.md). Numerics are identical to
+        the tiled path.
+        """
+        q = self._split(self._proj(x_t, "to_q"))          # (N*B0, H, 1, Dh)
         scale = self.dim_head ** -0.5
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        if key_mask is not None:
-            dots = jnp.where(key_mask[:, None, None, :], dots, NEG_INF)
-        attn = jax.nn.softmax(dots, axis=-1)
-        attn = jnp.where(jnp.isfinite(dots).any(axis=-1, keepdims=True), attn, 0.0)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(x_t.dtype)
-        b, h, n, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        if groups > 1:
+            nb, h, one, dh = q.shape
+            b0 = nb // groups
+            # (N*B0, H, 1, Dh) -> (B0, H, N, Dh): N query rows per context
+            q = q.reshape(groups, b0, h, dh).transpose(1, 2, 0, 3)
+        if _use_decode_kernel(k.shape[2], self.dim_head, "cross"):
+            from ..ops.pallas.decode import decode_attention
+
+            bb, h, lk, dh = k.shape
+            nq = q.shape[2]
+            mask_r = (None if key_mask is None
+                      else jnp.repeat(key_mask, h, axis=0))
+            o = decode_attention(q.reshape(bb * h, nq, dh),
+                                 k.reshape(bb * h, lk, dh),
+                                 v.reshape(bb * h, lk, dh),
+                                 key_mask=mask_r, scale=scale)
+            out = o.reshape(bb, h, nq, dh).astype(x_t.dtype)
+        else:
+            dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            if key_mask is not None:
+                dots = jnp.where(key_mask[:, None, None, :], dots, NEG_INF)
+            attn = jax.nn.softmax(dots, axis=-1)
+            attn = jnp.where(jnp.isfinite(dots).any(axis=-1, keepdims=True),
+                             attn, 0.0)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32).astype(x_t.dtype)
+        if groups > 1:
+            b0, h, n, d = out.shape
+            # (B0, H, N, Dh) -> (N*B0, 1, H*Dh)
+            out = out.transpose(2, 0, 1, 3).reshape(n * b0, 1, h * d)
+        else:
+            b, h, n, d = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return self.to_out(out)
 
 
@@ -261,8 +332,8 @@ class DecoderLayers(nn.Module):
 
     def step(self, x_t: Array, cache: Dict[str, Array], t: Array,
              cross_kv: Optional[List[Tuple[Array, Array]]] = None,
-             context_mask: Optional[Array] = None
-             ) -> Tuple[Array, Dict[str, Array]]:
+             context_mask: Optional[Array] = None,
+             cross_groups: int = 1) -> Tuple[Array, Dict[str, Array]]:
         new_cache = dict(cache)
         for i in range(self.depth):
             a, ck, cv = self.self_attn[i].step_self(
@@ -273,7 +344,7 @@ class DecoderLayers(nn.Module):
             if self.cross_attend:
                 k, v = cross_kv[i]
                 x_t = x_t + self.cross_attn[i].step_cross(
-                    self.norm_cross[i](x_t), k, v, context_mask)
+                    self.norm_cross[i](x_t), k, v, context_mask, cross_groups)
             x_t = x_t + self.ff[i](self.norm_ff[i](x_t))
         return self.final_norm(x_t), new_cache
 
@@ -375,9 +446,11 @@ class TokenDecoder(nn.Module):
         return self.layers.cross_kv(context)
 
     def decode_step(self, token: Array, cache, t: Array, cross_kv,
-                    context_mask: Optional[Array] = None):
+                    context_mask: Optional[Array] = None,
+                    cross_groups: int = 1):
         h = self._embed(token, t)
-        h, cache = self.layers.step(h, cache, t, cross_kv, context_mask)
+        h, cache = self.layers.step(h, cache, t, cross_kv, context_mask,
+                                    cross_groups)
         return self.to_logits(h)[:, 0], cache
 
 
@@ -470,6 +543,8 @@ def generate_tokens(
     temperature: float = 1.0,
     filter_frac: float = 0.1,
     greedy: bool = False,
+    chunk: Optional[int] = None,
+    context_groups: int = 1,
 ) -> Array:
     """KV-cached autoregressive sampling: returns (B, seq_len) generated tokens.
 
@@ -479,9 +554,24 @@ def generate_tokens(
     top-k keep-10% filtering, temperature 1.0, categorical sampling.
     ``prompt`` is (B, P); the prompt is consumed through the same cache and is
     NOT included in the returned tokens (x-transformers returns out[:, t:]).
+
+    ``chunk``: when set, the scan runs in segments whose self-attention KV
+    cache is statically sliced to the smallest multiple of ``chunk`` covering
+    the live prefix - step ``t`` then reads ~t cache entries instead of the
+    full ``p + seq_len``, halving average self-cache HBM traffic (the decode
+    loop is cache-bandwidth bound, PERF.md). The per-segment slice/write-back
+    copies are one cache pass per segment vs ``chunk`` passes saved. Output
+    is IDENTICAL to the unchunked path (same step math, same RNG stream).
+
+    ``context_groups``: best-of-N sharing - ``prompt`` has batch ``N * B0``
+    (sample-major, i.e. ``jnp.tile(x, (N, 1))`` order) while ``context`` /
+    ``context_mask`` carry only the ``B0`` distinct rows; cross-attention
+    K/V is computed and read once per context instead of once per sample
+    (see XAttention.step_cross).
     """
     b, p = prompt.shape
     max_len = p + seq_len
+    assert b % context_groups == 0, (b, context_groups)
 
     cross_kv = decoder.apply(params, context, method=TokenDecoder.cross_kv)
     cache = init_decoder_cache(b, max_len, decoder.depth, decoder.heads,
@@ -489,6 +579,7 @@ def generate_tokens(
 
     def step_fn(token, cache, t):
         return decoder.apply(params, token, cache, t, cross_kv, context_mask,
+                             context_groups,
                              method=TokenDecoder.decode_step)
 
     # consume the prompt
@@ -510,6 +601,31 @@ def generate_tokens(
         new_logits, cache = step_fn(tok[:, None], cache, p + i)
         return (new_logits, cache, rng), tok
 
-    (_, _, _), tokens = jax.lax.scan(
-        scan_body, (logits, cache, rng), jnp.arange(seq_len))
-    return tokens.T  # (B, seq_len)
+    if not chunk or chunk >= seq_len:
+        (_, _, _), tokens = jax.lax.scan(
+            scan_body, (logits, cache, rng), jnp.arange(seq_len))
+        return tokens.T  # (B, seq_len)
+
+    # --- chunked-prefix path ---
+    def slice_cache(c, n):
+        return jax.tree_util.tree_map(lambda x: x[:, :, :n], c)
+
+    def merge_cache(full, seg):
+        return jax.tree_util.tree_map(
+            lambda f, s: jax.lax.dynamic_update_slice(f, s, (0, 0, 0, 0)),
+            full, seg)
+
+    token_chunks = []
+    start = 0
+    while start < seq_len:
+        size = min(chunk, seq_len - start)
+        # segment writes cache positions [p+start, p+start+size); slice to the
+        # next multiple of `chunk` covering them (static per segment)
+        cache_len = min(max_len, -(-(p + start + size) // chunk) * chunk)
+        seg = slice_cache(cache, cache_len)
+        (logits, seg, rng), toks = jax.lax.scan(
+            scan_body, (logits, seg, rng), jnp.arange(start, start + size))
+        cache = merge_cache(cache, seg)
+        token_chunks.append(toks)
+        start += size
+    return jnp.concatenate(token_chunks, axis=0).T  # (B, seq_len)

@@ -112,6 +112,49 @@ def test_generate_matches_naive_greedy():
     np.testing.assert_array_equal(np.asarray(gen), np.asarray(seq[:, 1:]))
 
 
+def test_generate_chunked_matches_unchunked():
+    """The chunked-prefix decode (segmented cache slices) must be
+    token-identical to the single-scan path - same step math, same RNG
+    stream - including when seq_len is not a multiple of the chunk."""
+    dec = _decoder(num_tokens=16, dim=32, depth=2, heads=4, max_seq_len=64)
+    ctx = jax.random.normal(jax.random.PRNGKey(0), (3, 6, 32))
+    prompt = jnp.array([[3], [7], [1]], dtype=jnp.int32)
+    params = dec.init(jax.random.PRNGKey(1), prompt, ctx)
+    ctx_mask = jnp.array([[True] * 6, [True] * 4 + [False] * 2, [True] * 6])
+
+    for seq_len in (17, 16, 31):
+        base = generate_tokens(dec, params, prompt, seq_len, ctx, ctx_mask,
+                               jax.random.PRNGKey(5))
+        for chunk in (4, 8, 16, 64):
+            chunked = generate_tokens(dec, params, prompt, seq_len, ctx,
+                                      ctx_mask, jax.random.PRNGKey(5),
+                                      chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(chunked))
+
+
+def test_generate_context_groups_matches_tiled():
+    """Best-of-N context sharing (context_groups) must be token-identical to
+    physically tiling context/mask N times - alone and combined with the
+    chunked-prefix path."""
+    n, b0 = 3, 2
+    dec = _decoder(num_tokens=16, dim=32, depth=2, heads=4, max_seq_len=32)
+    ctx = jax.random.normal(jax.random.PRNGKey(0), (b0, 5, 32))
+    prompt = jnp.array([[3], [7]], dtype=jnp.int32)
+    params = dec.init(jax.random.PRNGKey(1), prompt, ctx)
+    mask = jnp.array([[True] * 5, [True] * 3 + [False] * 2])
+
+    prompt_t = jnp.tile(prompt, (n, 1))
+    base = generate_tokens(dec, params, prompt_t, 9,
+                           jnp.tile(ctx, (n, 1, 1)), jnp.tile(mask, (n, 1)),
+                           jax.random.PRNGKey(5))
+    grouped = generate_tokens(dec, params, prompt_t, 9, ctx, mask,
+                              jax.random.PRNGKey(5), context_groups=n)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(grouped))
+    both = generate_tokens(dec, params, prompt_t, 9, ctx, mask,
+                           jax.random.PRNGKey(5), context_groups=n, chunk=4)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(both))
+
+
 def test_generate_sampling_reproducible_and_in_range():
     dec = _decoder(num_tokens=16, dim=32, depth=1, heads=4, max_seq_len=32)
     ctx = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32))
