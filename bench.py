@@ -1,24 +1,33 @@
 """Benchmark harness - prints ONE JSON line.
 
 Headline metric (BASELINE.json): listener-motion generation throughput in
-frames/sec/chip - SLMFT at full reference dims (dim 384 + 768 audio, depth 4,
-512 codes) generating 255 listener frames per 256-frame clip via the
-KV-cached ``lax.scan`` decoder, on the real TPU chip.
+sampled frames/sec/chip on the REFERENCE EVAL WORKLOAD - SLMFT at full
+reference dims (dim 384 + 768 audio, depth 4, 512 codes) generating
+best-of-10 candidates for 25 clips of 256 frames (the reference's test
+protocol: beam_size=10 resamples per clip, x_engine_pt.py:236), via the
+production generator: KV-cached ``lax.scan`` decode, cross-attention context
+SHARED by the 10 samples of a clip (context_groups), chunked-prefix cache
+reads (chunk=32). bf16 activations/caches, sampling in fp32.
 
-``vs_baseline`` is LIKE-FOR-LIKE: same batch, same length, same precision,
-same chip - against the reference's *execution model*, a KV-cached decode
-driven by a per-token python loop with one device call per token
-(x-transformers ``AutoregressiveWrapper.generate``; the library caches KV,
-so the honest baseline grants it that). The speedup is therefore purely the
-fused-``lax.scan``-decode win (no per-token dispatch / launch round trips),
-not a batch-size or hardware artifact.
+``vs_baseline`` is LIKE-FOR-LIKE: the same workload (250 decode rows, same
+L/dtype/chip), executed the reference's way - a KV-cached decode driven by a
+per-token python loop with one device call per token, context tiled per
+sample (x-transformers ``AutoregressiveWrapper.generate``; the library
+caches KV, so the honest baseline grants it that; it cannot share context
+across resamples - the reference loops beams sequentially). The speedup is
+therefore the fused-scan + shared-context + prefix-chunking win, not a
+batch-size or hardware artifact.
 
-Secondary fields: ``hbm_roofline_fraction`` (analytic decode traffic - self
-cache + cross K/V + weight reads - over measured time vs the v5e's 819 GB/s
-peak) and ``vs_cpu_reference_b1_l64`` (the reference algorithm on host CPU
-fp32 at B=1 L=64 - a different-B number, kept for continuity and clearly
-labeled). Both baselines are self-measured (the repo publishes no numbers,
-BASELINE.md) and cached in ``bench_baseline.json``.
+Secondary fields: ``independent_clips_frames_per_sec`` (the round-1 headline
+shape: 256 DISTINCT clips, no sharing - continuity with BENCH_r01),
+``hbm_roofline_fraction`` (analytic decode traffic of the grouped+chunked
+schedule - live self-cache slices + shared cross K/V + weight reads - over
+measured time vs the v5e's 819 GB/s paper peak; the platform's measured
+bf16 streaming ceiling is ~360 GB/s, PERF.md), and
+``vs_cpu_reference_b1_l64`` (the reference algorithm - full re-forward per
+token - on host CPU fp32, kept for continuity and clearly labeled). All
+baselines are self-measured (the repo publishes no numbers, BASELINE.md) and
+cached in ``bench_baseline.json``.
 """
 
 from __future__ import annotations
@@ -34,7 +43,9 @@ enable_persistent_cache()
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
 
-B, L = 256, 256  # bench batch: e.g. 25 clips x best-of-10 sampling, 256 frames each
+B0, N, L = 25, 10, 256  # 25 clips x best-of-10 (reference eval protocol)
+CHUNK = 32              # chunked-prefix decode segment (PERF.md sweep)
+B_INDEP = 256           # round-1 headline shape: independent clips, no sharing
 
 
 def _make_model(dtype=None):
@@ -77,30 +88,50 @@ def _batch(b, l):
             jnp.ones((b, l), dtype=bool))
 
 
-def measure_tpu_throughput(model, slm_cfg, params) -> float:
+def _fenced_gen(model, slm_cfg, n_samples, chunk):
     import jax
+    import jax.numpy as jnp
 
     from dyadic_interaction_modeling_tpu.engine.pt_engine import make_slmft_generator
 
-    import numpy as np
-
-    import jax.numpy as jnp
-
-    gen = make_slmft_generator(model, slm_cfg, L)
-    fenced = jax.jit(lambda p, b, r, n: jnp.sum(
-        gen(p, b, r, n).astype(jnp.float32)), static_argnums=(3,))
-    batch = _batch(B, L)
-    rng = jax.random.PRNGKey(3)
+    gen = make_slmft_generator(model, slm_cfg, L, chunk=chunk)
     # NOTE (axon platform): block_until_ready returns early AND device_get of
     # large outputs crawls over the tunnel (~20 MB/s) - fence by reducing to a
     # scalar ON DEVICE and transferring 4 bytes.
-    float(fenced(params, batch, rng, 1))  # compile
+    return jax.jit(lambda p, b, r: jnp.sum(
+        gen(p, b, r, n_samples).astype(jnp.float32)))
+
+
+def measure_eval_workload(model, slm_cfg, params) -> float:
+    """Headline: best-of-N sampled generation, production generator."""
+    import jax
+
+    fenced = _fenced_gen(model, slm_cfg, N, CHUNK)
+    batch = _batch(B0, L)
+    rng = jax.random.PRNGKey(3)
+    float(fenced(params, batch, rng))  # compile
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        s = float(fenced(params, batch, jax.random.fold_in(rng, i), 1))
+        float(fenced(params, batch, jax.random.fold_in(rng, i)))
     dt = (time.perf_counter() - t0) / iters
-    return B * (L - 1) / dt
+    return B0 * N * (L - 1) / dt
+
+
+def measure_independent_clips(model, slm_cfg, params) -> float:
+    """Round-1 headline shape: B=256 distinct clips, one sample each."""
+    import jax
+
+    fenced = _fenced_gen(model, slm_cfg, 1, CHUNK)
+    batch = _batch(B_INDEP, L)
+    rng = jax.random.PRNGKey(3)
+    float(fenced(params, batch, rng))  # compile
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        float(fenced(params, batch, jax.random.fold_in(rng, i)))
+    dt = (time.perf_counter() - t0) / iters
+    return B_INDEP * (L - 1) / dt
 
 
 def measure_cpu_reference_baseline(model, slm_cfg, params) -> float:
@@ -149,10 +180,12 @@ def measure_cpu_reference_baseline(model, slm_cfg, params) -> float:
     return b * (l - 1) / dt
 
 
-def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
+def measure_tpu_python_loop_baseline(model, slm_cfg, params, b_rows: int) -> float:
     """Reference execution model, like-for-like: KV-cached decode at the SAME
-    B, L, dtype and chip, but driven token-by-token from python with one
-    device call per token (the x-transformers ``.generate`` loop)."""
+    row count / L / dtype / chip, but driven token-by-token from python with
+    one device call per token and per-sample (tiled) context reads - the
+    x-transformers ``.generate`` loop, which the reference runs once per
+    beam (x_engine_pt.py:255-268)."""
     import jax
     import jax.numpy as jnp
 
@@ -163,7 +196,7 @@ def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
         top_k_filter,
     )
 
-    v_s, v_l, v_a, mask = _batch(B, L)
+    v_s, v_l, v_a, mask = _batch(b_rows, L)
     ctx, prompt = model.apply({"params": params}, v_s, v_l, v_a, mask,
                               method=SLMFT.encode_context)
     dec = TokenDecoder(num_tokens=slm_cfg.num_tokens,
@@ -187,8 +220,8 @@ def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
         return nxt[:, None], cache, rng
 
     def run_loop():
-        cache = init_decoder_cache(B, L, slm_cfg.dec_depth, slm_cfg.dec_heads,
-                                   dtype=jnp.bfloat16)
+        cache = init_decoder_cache(b_rows, L, slm_cfg.dec_depth,
+                                   slm_cfg.dec_heads, dtype=jnp.bfloat16)
         tok, rng = prompt.astype(jnp.int32), jax.random.PRNGKey(11)
         for t in range(L - 1):
             tok, cache, rng = step(dparams, cross_kv, tok, cache,
@@ -199,21 +232,27 @@ def measure_tpu_python_loop_baseline(model, slm_cfg, params) -> float:
     t0 = time.perf_counter()
     run_loop()
     dt = time.perf_counter() - t0
-    return B * (L - 1) / dt
+    return b_rows * (L - 1) / dt
 
 
-def decode_hbm_traffic_bytes(params, slm_cfg, b, l, bytes_per=2) -> int:
-    """Analytic HBM traffic of the 255-step cached decode: growing self-KV
-    reads + full cross-K/V reads + decoder weight reads per step."""
+def decode_hbm_traffic_bytes(params, slm_cfg, b0, n, l, chunk,
+                             bytes_per=2) -> int:
+    """Analytic HBM traffic of the grouped+chunked decode schedule:
+    chunk-rounded live self-cache slices (b0*n rows) + cross K/V read once
+    per clip per step (context sharing) + decoder weight reads per step."""
     import jax
 
     wbytes = sum(x.size for x in jax.tree_util.tree_leaves(
         params["decoder_joint"])) * bytes_per
-    per_tok = b * slm_cfg.dec_heads * 64 * 2 * slm_cfg.dec_depth * bytes_per
-    cache_reads = per_tok * (l * (l - 1) // 2)
-    cross_reads = per_tok * l * (l - 1)
+    per_tok_row = slm_cfg.dec_heads * 64 * 2 * slm_cfg.dec_depth * bytes_per
+    p = 1  # prompt length
+    self_reads = 0
+    for i in range(l - 1):  # generation step i reads its segment's cache slice
+        cache_len = min(l, -(-(p + i + 1) // chunk) * chunk) if chunk else l
+        self_reads += b0 * n * cache_len * per_tok_row
+    cross_reads = b0 * l * per_tok_row * (l - 1)  # shared: read per clip
     weight_reads = wbytes * (l - 1)
-    return cache_reads + cross_reads + weight_reads
+    return self_reads + cross_reads + weight_reads
 
 
 V5E_HBM_PEAK = 819e9  # bytes/s
@@ -226,53 +265,54 @@ def _load_cache() -> dict:
     return {}
 
 
-def get_cpu_reference() -> float:
+def _cached(key: str, how_key: str, how: str, fn) -> float:
     cache = _load_cache()
-    if "cpu_reference_frames_per_sec" in cache:
-        return float(cache["cpu_reference_frames_per_sec"])
-    import jax.numpy as jnp
-
-    model32, slm_cfg32 = _make_model(dtype=jnp.float32)  # baseline stays fp32
-    params32 = _init_params(model32)
-    fps = measure_cpu_reference_baseline(model32, slm_cfg32, params32)
-    cache["cpu_reference_frames_per_sec"] = fps
-    cache["cpu_how"] = ("full-reforward AR decode (reference algorithm, jitted) "
-                        "on host CPU, SLMFT full dims, B=1 L=64")
-    with open(BASELINE_FILE, "w") as f:
-        json.dump(cache, f, indent=2)
-    return fps
-
-
-def get_tpu_loop_baseline(model, slm_cfg, params) -> float:
-    cache = _load_cache()
-    key = f"tpu_python_loop_frames_per_sec_B{B}_L{L}"
     if key in cache:
         return float(cache[key])
-    fps = measure_tpu_python_loop_baseline(model, slm_cfg, params)
-    cache[key] = fps
-    cache["tpu_loop_how"] = ("KV-cached decode, per-token python loop, one "
-                             "device call per token - same B/L/dtype/chip as "
-                             "the headline (x-transformers generate execution "
-                             "model)")
+    val = float(fn())
+    cache[key] = val
+    cache[how_key] = how
     with open(BASELINE_FILE, "w") as f:
         json.dump(cache, f, indent=2)
-    return fps
+    return val
 
 
 def main():
+    import jax.numpy as jnp
+
     model, slm_cfg = _make_model()
     params = _init_params(model)
-    fps = measure_tpu_throughput(model, slm_cfg, params)
-    loop_fps = get_tpu_loop_baseline(model, slm_cfg, params)
-    cpu_fps = get_cpu_reference()
-    traffic = decode_hbm_traffic_bytes(params, slm_cfg, B, L)
-    achieved_bw = traffic / (B * (L - 1) / fps)
+
+    fps = measure_eval_workload(model, slm_cfg, params)
+    indep_fps = measure_independent_clips(model, slm_cfg, params)
+
+    loop_fps = _cached(
+        f"tpu_python_loop_frames_per_sec_B{B0 * N}_L{L}", "tpu_loop_how",
+        "KV-cached decode, per-token python loop, one device call per token, "
+        "context tiled per sample - same rows/L/dtype/chip as the headline "
+        "(x-transformers generate execution model, one beam at a time)",
+        lambda: measure_tpu_python_loop_baseline(model, slm_cfg, params, B0 * N))
+
+    def cpu_ref():
+        model32, slm_cfg32 = _make_model(dtype=jnp.float32)  # baseline stays fp32
+        return measure_cpu_reference_baseline(model32, slm_cfg32,
+                                              _init_params(model32))
+
+    cpu_fps = _cached(
+        "cpu_reference_frames_per_sec", "cpu_how",
+        "full-reforward AR decode (reference algorithm, jitted) on host CPU, "
+        "SLMFT full dims, B=1 L=64", cpu_ref)
+
+    traffic = decode_hbm_traffic_bytes(params, slm_cfg, B0, N, L, CHUNK)
+    achieved_bw = traffic / (B0 * N * (L - 1) / fps)
     print(json.dumps({
         "metric": "listener_gen_frames_per_sec_per_chip",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / loop_fps, 2),
-        "baseline": f"same-B/L/dtype KV-cached per-token python-loop decode on this chip (B={B}, L={L}, bf16)",
+        "workload": f"reference eval protocol: {B0} clips x best-of-{N}, L={L}, bf16, shared-context + chunked-prefix lax.scan decode",
+        "baseline": f"same workload ({B0 * N} rows, L={L}, bf16, this chip), KV-cached per-token python-loop decode with per-sample context (reference execution model)",
+        "independent_clips_frames_per_sec": round(indep_fps, 1),
         "hbm_roofline_fraction": round(achieved_bw / V5E_HBM_PEAK, 3),
         "vs_cpu_reference_b1_l64": round(fps / cpu_fps, 2),
     }))
