@@ -14,7 +14,8 @@ from ..config import slm_defaults, vq_listener_defaults
 from ..data.datasets import CandorDataset, candor_split
 from ..data.loader import PaddedBatchLoader, slm_batch_from_collated
 from ..data.synthetic import synthetic_candor_dataset
-from ..engine.pt_engine import evaluate_epoch, make_slm_train_step, train_epoch
+from ..engine.pt_engine import (VQTokenCache, evaluate_epoch,
+                                make_slm_train_step, train_epoch)
 from ..engine.train_state import create_train_state
 from ..models.slm import SLM, SLM_FROZEN_SUBSTRINGS
 from ..utils.checkpoint import BestCheckpointKeeper, graft_subtree, load_torch_checkpoint
@@ -55,6 +56,18 @@ def _slm_batches(loader):
         yield tuple(jnp.asarray(x) for x in slm_batch_from_collated(collated))
 
 
+def _slm_batches_with_vq_tokens(loader, cache, params):
+    """Batches extended with cached frozen-VQ tokens (engine.VQTokenCache):
+    the tokenizers are frozen, so clips are tokenized once across all
+    epochs regardless of shuffling."""
+    import jax.numpy as jnp
+
+    for collated in loader:
+        names = collated[5] if len(collated) > 5 else None
+        batch = tuple(jnp.asarray(x) for x in slm_batch_from_collated(collated))
+        yield batch + tuple(cache(params, batch, names))
+
+
 def main(argv=None):
     parser = get_parser("SLM dyadic pretraining")
     parser.add_argument("--speaker-vq", type=str, default=None)
@@ -63,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--vq-token-cache", action="store_true",
+                        help="tokenize each clip once with the frozen VQs "
+                             "and reuse across epochs (identical numerics, "
+                             "~16%% faster steps - PERF.md)")
     args = parser.parse_args(argv)
     logger = setup(args)
     slm_cfg = load_config(args, slm_defaults)
@@ -78,14 +95,18 @@ def main(argv=None):
     params = load_pretrained_vqs(params, vq_cfg, args.speaker_vq, args.listener_vq)
     state = create_train_state(model, params, args.lr,
                                frozen_substrings=SLM_FROZEN_SUBSTRINGS)
-    step = make_slm_train_step(model)
+    step = make_slm_train_step(model, with_vq_tokens=args.vq_token_cache)
     keeper = BestCheckpointKeeper(args.save_path or "./runs_pretrain/model")
+    vq_cache = VQTokenCache(model) if args.vq_token_cache else None
 
     epochs = slm_cfg.get_or("epochs", 10)
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
         rng, sub = jax.random.split(rng)
-        state, logs = train_epoch(state, _slm_batches(train_loader), step, sub,
+        batches = (_slm_batches_with_vq_tokens(train_loader, vq_cache,
+                                               state.params)
+                   if vq_cache else _slm_batches(train_loader))
+        state, logs = train_epoch(state, batches, step, sub,
                                   epoch=epoch, logger=logger)
         rng, sub = jax.random.split(rng)
         val = evaluate_epoch(state.params, model, _slm_batches(val_loader), sub)

@@ -155,7 +155,9 @@ class CandorDataset:
             [np.asarray(ds["video"], dtype=np.float32),
              np.asarray(ds["audio"], dtype=np.float32)], axis=1)
         listener = np.asarray(dl["video"], dtype=np.float32)
-        return combined, listener, None, 0, 0, 0
+        # the speaker path identifies the clip (used as the collate `name`:
+        # eval data_ids + the engine's per-clip VQ token cache)
+        return combined, listener, sp, 0, 0, 0
 
 
 class CandorListenerDataset:

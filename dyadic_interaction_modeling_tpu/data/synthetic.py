@@ -68,7 +68,7 @@ def synthetic_candor_dataset(n_clips: int = 16, min_len: int = 24, max_len: int 
         length = int(rng.integers(min_len, max_len + 1))
         clip = synthetic_vico_clip(rng, length)
         combined = np.concatenate([clip["video_speaker"], clip["audio"]], axis=1)
-        items.append((combined, clip["video_listener"], None, 0, 0, 0))
+        items.append((combined, clip["video_listener"], f"candor_{i}", 0, 0, 0))
     return _ListDataset(items)
 
 

@@ -195,8 +195,15 @@ class SLM(_SLMBase):
             jnp.concatenate([x_s, x_l], axis=1),
             mask=jnp.concatenate([valid_mask, valid_mask], axis=-1),
             return_embeddings=True)
-        x_l = self.encoder_joint(x_l, mask=valid_mask, return_embeddings=True)
-        x_s = self.encoder_joint(x_s, mask=valid_mask, return_embeddings=True)
+        # the two marginal joint passes (seq2seq_pretrain.py:221-223) share
+        # weights and length - run them as ONE batched pass (identical
+        # numerics, half the kernel launches; MXU likes the bigger batch)
+        b = x_l.shape[0]
+        y = self.encoder_joint(
+            jnp.concatenate([x_l, x_s], axis=0),
+            mask=jnp.concatenate([valid_mask, valid_mask], axis=0),
+            return_embeddings=True)
+        x_l, x_s = y[:b], y[b:]
         return (self.norm_s(x_s), self.norm_l(x_l), self.norm(x_joint),
                 mask_speaker, mask_listener)
 
@@ -207,8 +214,14 @@ class SLM(_SLMBase):
         x_l = jnp.concatenate([x_l + self.patch_embed_dec_l, x_a], axis=-1)
         inp_s, tgt_s = ar_inputs_targets(z_s)
         inp_l, tgt_l = ar_inputs_targets(z_l)
-        px_s = self.decoder_joint(inp_s, context=x_l, context_mask=valid_mask)
-        px_l = self.decoder_joint(inp_l, context=x_s, context_mask=valid_mask)
+        # the two cross-prediction passes share decoder weights - batch them
+        # (identical numerics to sequential calls)
+        b = inp_s.shape[0]
+        px = self.decoder_joint(
+            jnp.concatenate([inp_s, inp_l], axis=0),
+            context=jnp.concatenate([x_l, x_s], axis=0),
+            context_mask=jnp.concatenate([valid_mask, valid_mask], axis=0))
+        px_s, px_l = px[:b], px[b:]
         l_ce_s = ar_cross_entropy(px_s, tgt_s)
         l_ce_l = ar_cross_entropy(px_l, tgt_l)
         return l_ce_s, l_ce_l, px_s, px_l
@@ -220,9 +233,17 @@ class SLM(_SLMBase):
                 self.listener_vq.decode_indices(pred_l))
 
     def __call__(self, v_speaker, v_listener, v_audio, valid_mask, rng,
-                 mode: str = "train") -> SLMOutputs:
-        z_s, z_l = jax.lax.stop_gradient(
-            self.forward_vq(v_speaker, v_listener, valid_mask))
+                 mode: str = "train", vq_tokens=None) -> SLMOutputs:
+        """``vq_tokens``: optional precomputed (z_s, z_l) from
+        ``forward_vq`` - the frozen tokenizers are deterministic, so
+        engines can tokenize a dataset ONCE and skip the two 6-layer VQ
+        encoder passes every step (~16% of the step, PERF.md breakdown).
+        Identical numerics either way."""
+        if vq_tokens is not None:
+            z_s, z_l = vq_tokens
+        else:
+            z_s, z_l = jax.lax.stop_gradient(
+                self.forward_vq(v_speaker, v_listener, valid_mask))
         rng, r_enc = jax.random.split(rng)
         x_s, x_l, x_joint, mask_speaker, mask_listener = self.forward_encoder(
             v_speaker, v_listener, valid_mask, r_enc)
@@ -288,12 +309,17 @@ class SLMFT(_SLMBase):
         return self.listener_vq.decode_indices(tokens)
 
     def __call__(self, v_speaker, v_listener, v_audio, valid_mask, rng=None,
-                 mode: str = "train") -> SLMOutputs:
+                 mode: str = "train", vq_tokens=None) -> SLMOutputs:
         """Teacher-forced path (reference mode='train'; the generate path is
         driven by engine.pt_engine via ``encode_context``/xtrans.generate_tokens
-        because sampling loops live outside the module)."""
-        _, z_l = jax.lax.stop_gradient(
-            self.forward_vq(v_speaker, v_listener, valid_mask))
+        because sampling loops live outside the module).
+
+        ``vq_tokens``: optional precomputed (z_s, z_l) - see SLM.__call__."""
+        if vq_tokens is not None:
+            _, z_l = vq_tokens
+        else:
+            _, z_l = jax.lax.stop_gradient(
+                self.forward_vq(v_speaker, v_listener, valid_mask))
         x_s = self.forward_encoder(v_speaker, valid_mask)
         l_ce_l, logits_l = self.decode_train(x_s, z_l, v_audio, valid_mask, rng)
         pred_l = self.forward_vq_decoder_train(logits_l)

@@ -11,10 +11,12 @@ from dyadic_interaction_modeling_tpu.data.loader import (
     slm_batch_from_collated,
 )
 from dyadic_interaction_modeling_tpu.data.synthetic import (
+    synthetic_candor_dataset,
     synthetic_vico_dataset,
     synthetic_biwi_dataset,
 )
 from dyadic_interaction_modeling_tpu.engine.pt_engine import (
+    VQTokenCache,
     evaluate_test_epoch,
     make_slm_train_step,
     make_slmft_generator,
@@ -155,6 +157,65 @@ def test_evaluate_test_epoch_end_to_end():
     for yt, yp in zip(y_true, y_pred):
         assert yt.shape == yp.shape
         assert np.isfinite(yp).all()
+
+
+def test_vq_token_cache_matches_forward_vq_across_compositions():
+    """Cache-assembled (z_s, z_l) must be identical to forward_vq for ANY
+    batch composition: clips tokenized in one grouping on epoch 1 are
+    reassembled for a different grouping (different padded length too) on
+    epoch 2 - the frozen tokenization is per-clip deterministic."""
+    from dyadic_interaction_modeling_tpu.models.slm import SLM
+
+    slm_cfg, vq_cfg = _tiny_slm_cfgs()
+    model = SLM(slm_cfg, vq_cfg)
+    ds = synthetic_candor_dataset(n_clips=6, min_len=12, max_len=30, seed=3)
+    rng = jax.random.PRNGKey(1)
+
+    loader1 = PaddedBatchLoader(ds, batch_size=3, shuffle=False)
+    collated = list(loader1)
+    b0 = slm_batch_from_collated(collated[0])
+    params = model.init(jax.random.PRNGKey(0), *b0, rng)["params"]
+
+    cache = VQTokenCache(model)
+    # epoch 1: populate (compute path)
+    for col in collated:
+        batch = slm_batch_from_collated(col)
+        z = cache(params, batch, col[5])
+        ref = model.apply({"params": params}, batch[0], batch[1], batch[3],
+                          method="forward_vq")
+        np.testing.assert_array_equal(np.asarray(z[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(z[1]), np.asarray(ref[1]))
+    # epoch 2: different composition - assembled from the cache
+    loader2 = PaddedBatchLoader(ds, batch_size=2, shuffle=True)
+    loader2.set_epoch(7)
+    for col in loader2:
+        batch = slm_batch_from_collated(col)
+        assert all(n in cache._store for n in col[5])
+        z = cache(params, batch, col[5])
+        ref = model.apply({"params": params}, batch[0], batch[1], batch[3],
+                          method="forward_vq")
+        np.testing.assert_array_equal(np.asarray(z[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(z[1]), np.asarray(ref[1]))
+
+    # and the training step accepts the extended batch: same loss as inline
+    step_tok = make_slm_train_step(model, with_vq_tokens=True)
+    step_inline = make_slm_train_step(model)
+    from dyadic_interaction_modeling_tpu.engine.train_state import (
+        create_train_state,
+    )
+    from dyadic_interaction_modeling_tpu.models.slm import SLM_FROZEN_SUBSTRINGS
+
+    state = create_train_state(model, {"params": params}, 1e-4,
+                               frozen_substrings=SLM_FROZEN_SUBSTRINGS)
+    col = collated[0]
+    batch = tuple(jnp.asarray(x) for x in slm_batch_from_collated(col))
+    tokens = cache(params, batch, col[5])
+    r = jax.random.PRNGKey(9)
+    _, logs_tok = step_tok(state, batch + tokens, r)
+    _, logs_inline = step_inline(state, batch, r)
+    for k in logs_inline:
+        np.testing.assert_allclose(float(logs_tok[k]), float(logs_inline[k]),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_speaker_ids_from_names():
