@@ -22,6 +22,9 @@ def get_parser(description: str = " ", default_config: Optional[str] = None
     parser.add_argument("--save-path", type=str, default=None)
     parser.add_argument("--weight", type=str, default=None,
                         help="checkpoint to load")
+    parser.add_argument("--prefetch", type=int, default=0,
+                        help="background-thread batch prefetch depth "
+                             "(data.loader.PrefetchLoader; 0 = off)")
     parser.add_argument("opts", help="KEY VALUE overrides", default=None,
                         nargs=argparse.REMAINDER)
     return parser

@@ -88,6 +88,10 @@ def main(argv=None):
                                    shuffle=False, collate=_motion_collate)
 
     sample = next(iter(train_loader))
+    if getattr(args, "prefetch", 0):
+        from ..data.loader import PrefetchLoader
+
+        train_loader = PrefetchLoader(train_loader, depth=args.prefetch)
     params = model.init(jax.random.PRNGKey(cfg.get_or("manual_seed", 131)), sample)
     state = create_train_state(model, params, cfg.base_lr,
                                weight_decay=cfg.get_or("weight_decay", 0.0))

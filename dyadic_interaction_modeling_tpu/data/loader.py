@@ -104,3 +104,92 @@ def slm_batch_from_collated(collated) -> Tuple:
     (x_engine_pt.py:30)."""
     src, tgt, lens, mask, _ids, _names = collated
     return (src[..., :56], tgt, src[..., 56:], mask)
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetcher.
+
+    The reference overlaps host-side data work with the device via torch
+    DataLoader worker processes (``num_workers`` in the loader factories,
+    ``/root/reference/code/dataset/data_loader.py:390-533``). Equivalent
+    here: a daemon thread keeps up to ``depth`` batches ahead in a bounded
+    queue, so pickle reads + pad-collate (and, with ``device_put=True``,
+    the host->device copy) overlap the accelerator step.
+
+    ``transform`` maps each raw batch before it is queued (e.g.
+    ``slm_batch_from_collated``); exceptions raised by the dataset or the
+    transform propagate to the consuming thread at the ``next()`` that
+    would have yielded the failing batch. Abandoning the iterator mid-epoch
+    stops the worker promptly (bounded put with a stop flag).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, loader, depth: int = 2,
+                 transform: Optional[Callable] = None,
+                 device_put: bool = False):
+        self.loader = loader
+        self.depth = max(1, int(depth))
+        self.transform = transform
+        self.device_put = device_put
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.loader, "set_epoch"):
+            self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def _prepare(self, batch):
+        if self.transform is not None:
+            batch = self.transform(batch)
+        if self.device_put:
+            import jax
+
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x)
+                if isinstance(x, np.ndarray) else x, batch)
+        return batch
+
+    def __iter__(self) -> Iterator:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    batch = self._prepare(batch)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 - propagate to consumer
+                err.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(self._SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is self._SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield batch
+        finally:
+            stop.set()

@@ -209,9 +209,13 @@ def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int,
         ctx, prompt = model.apply({"params": params}, src_v, tgt, src_a, mask,
                                   method=SLMFT.encode_context)
         prompt_t = jnp.tile(prompt, (n_samples, 1))
+        # chunked-prefix decode pays off when the scan is bandwidth bound;
+        # at few rows it is launch-latency bound and chunking loses ~5%
+        # (PERF.md p50) - row count is static at trace time, so decide here
+        eff_chunk = chunk if b * n_samples >= 32 else None
         tokens = generate_tokens(
             decoder, {"params": params["decoder_joint"]}, prompt_t, l - 1,
-            ctx, mask, rng, context_groups=n_samples, chunk=chunk)
+            ctx, mask, rng, context_groups=n_samples, chunk=eff_chunk)
         motion = model.apply({"params": params}, tokens,
                              method=SLMFT.decode_tokens_to_motion)
         # (N*B, L-1, 56) -> (B, N, L-1, 56)
@@ -241,10 +245,11 @@ def make_speaker_generator(model, slm_cfg, max_len: int,
         ctx, prompt = model.apply({"params": params}, verts, emoca, audio,
                                   mask, template, sids,
                                   method=SpeakerSLMFT.encode_context)
+        eff_chunk = chunk if verts.shape[0] * n_samples >= 32 else None
         tokens = generate_tokens(
             decoder, {"params": params["decoder_joint"]},
             jnp.tile(prompt, (n_samples, 1)), l - 1,
-            ctx, mask, rng, context_groups=n_samples, chunk=chunk)
+            ctx, mask, rng, context_groups=n_samples, chunk=eff_chunk)
         emoca_out = model.apply({"params": params}, tokens, False,
                                 method=SpeakerSLMFT.decode_emoca)[1]
         return emoca_out.reshape(n_samples, b, l - 1, -1).transpose(1, 0, 2, 3)

@@ -81,6 +81,53 @@ def test_pad_collate_and_loader():
     assert [b[5] for b in loader] != names0
 
 
+def test_prefetch_loader_matches_sequential():
+    from dyadic_interaction_modeling_tpu.data.loader import PrefetchLoader
+
+    ds = synthetic_vico_dataset(n_clips=10, min_len=10, max_len=40, seed=0)
+    loader = PaddedBatchLoader(ds, batch_size=4, shuffle=True, seed=1)
+    direct = list(loader)
+    pre = PrefetchLoader(loader, depth=2)
+    assert len(pre) == len(loader)
+    fetched = list(pre)
+    assert len(fetched) == len(direct)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[3], b[3])
+        assert a[5] == b[5]
+    # transform hook + set_epoch passthrough + reiterability
+    pre_t = PrefetchLoader(loader, depth=3, transform=slm_batch_from_collated)
+    pre_t.set_epoch(2)
+    loader.set_epoch(2)
+    direct2 = [slm_batch_from_collated(c) for c in loader]
+    for a, b in zip(direct2, list(pre_t)):
+        np.testing.assert_array_equal(a[0], b[0])
+    # early break must not wedge subsequent iterations
+    it = iter(pre)
+    next(it)
+    del it
+    assert len(list(pre)) == len(direct)
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    from dyadic_interaction_modeling_tpu.data.loader import PrefetchLoader
+
+    class Boom:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            if i == 4:
+                raise RuntimeError("corrupt sample")
+            return (np.zeros((8, 824), np.float32), np.zeros((8, 56), np.float32),
+                    f"c{i}", 0, 0, 0)
+
+    loader = PaddedBatchLoader(Boom(), batch_size=2, shuffle=False)
+    pre = PrefetchLoader(loader, depth=1)
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        list(pre)
+
+
 def test_vq_training_loss_decreases():
     cfg = _tiny_vq_cfg()
     model = get_model(cfg)
