@@ -4,6 +4,8 @@ from .mesh import (
     replicate,
     tp_param_spec,
     tp_param_shardings,
+    fsdp_param_spec,
+    fsdp_param_shardings,
     data_sharding,
     init_distributed,
     is_master,
@@ -15,6 +17,8 @@ __all__ = [
     "replicate",
     "tp_param_spec",
     "tp_param_shardings",
+    "fsdp_param_spec",
+    "fsdp_param_shardings",
     "data_sharding",
     "init_distributed",
     "is_master",

@@ -104,3 +104,42 @@ def tp_param_shardings(mesh: Mesh, params, model_axis_size: int):
     return jax.tree_util.tree_map_with_path(
         lambda p, x: NamedSharding(mesh, tp_param_spec(p, x, model_axis_size)),
         params)
+
+
+def fsdp_param_spec(leaf, data_axis_size: int, axis: str = "data",
+                    min_size: int = 16384) -> P:
+    """ZeRO-3 / FSDP-style parameter sharding rule.
+
+    Shards each sufficiently large parameter over the DATA axis on its
+    largest evenly-divisible dimension; small tensors stay replicated (an
+    all-gather of a tiny tensor costs more than it saves). With the batch
+    sharded over the same axis, GSPMD all-gathers each parameter at its use
+    sites in the forward/backward and reduce-scatters its gradient -
+    per-device parameter/optimizer/gradient memory drops ~axis-fold for the
+    sharded tensors. The reference has no equivalent (DDP replicates
+    everything); this extends the mesh story beyond its DP ceiling for
+    models that outgrow one chip's HBM.
+    """
+    if leaf.size < min_size:
+        return P()
+    dims = sorted(range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True)
+    for d in dims:
+        if leaf.shape[d] % data_axis_size == 0:
+            spec = [None] * leaf.ndim
+            spec[d] = axis
+            return P(*spec)
+    return P()
+
+
+def fsdp_param_shardings(mesh: Mesh, params, axis: str = "data",
+                         min_size: int = 16384):
+    """NamedShardings for a params pytree under ``fsdp_param_spec``.
+
+    Shard the optimizer state to match by re-initialising it under jit with
+    the sharded params as input - GSPMD propagates the sharding to the adam
+    moments: ``jax.jit(tx.init)(sharded_params)``.
+    """
+    n = mesh.shape[axis]
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(mesh, fsdp_param_spec(x, n, axis, min_size)),
+        params)

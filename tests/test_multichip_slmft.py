@@ -92,6 +92,48 @@ def test_sharded_slmft_step_matches_single_device(mesh_shape):
                                    err_msg=jax.tree_util.keystr(path))
 
 
+def test_fsdp_sharded_slmft_step_matches_single_device():
+    """ZeRO-3-style layout: params AND adam moments sharded over the data
+    axis (fsdp_param_spec), batch data-sharded - the step must reproduce the
+    single-device parameters exactly like the DP/TP layouts do. GSPMD
+    inserts the per-use all-gathers and the gradient reduce-scatters."""
+    from dyadic_interaction_modeling_tpu.parallel import fsdp_param_shardings
+
+    model, batch = _tiny_model()
+    rng = jax.random.PRNGKey(1)
+    params = model.init(jax.random.PRNGKey(2), *batch, rng)
+    step = _train_step(model)
+
+    state1 = create_train_state(model, params, learning_rate=1e-3,
+                                frozen_substrings=SLMFT_FROZEN_SUBSTRINGS)
+    state1, loss1 = step(state1, batch, rng)
+    state1, loss1 = step(state1, batch, rng)
+
+    mesh = make_mesh(("data",), shape=(8,))
+    state2 = create_train_state(model, params, learning_rate=1e-3,
+                                frozen_substrings=SLMFT_FROZEN_SUBSTRINGS)
+    shardings = fsdp_param_shardings(mesh, state2.params, min_size=256)
+    sharded = [s.spec for s in jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda s: isinstance(s, NamedSharding))
+        if s.spec != P()]
+    assert len(sharded) >= 8, "FSDP rule matched almost nothing"
+    sparams = jax.tree_util.tree_map(jax.device_put, state2.params, shardings)
+    # adam moments inherit the param sharding via GSPMD propagation
+    opt_state = jax.jit(state2.tx.init)(sparams)
+    state2 = state2.replace(params=sparams, opt_state=opt_state)
+    sbatch = shard_batch(mesh, batch)
+    state2, loss2 = step(state2, sbatch, rng)
+    state2, loss2 = step(state2, sbatch, rng)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    flat1 = jax.tree_util.tree_leaves_with_path(state1.params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(state2.params))
+    for path, x in flat1:
+        np.testing.assert_allclose(np.asarray(x), np.asarray(flat2[path]),
+                                   rtol=5e-4, atol=1e-4,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_tp_rules_actually_shard_something():
     """Guard against the TP spec silently matching nothing (a rename in the
     decoder would turn the 'TP' test into a pure-DP test)."""
