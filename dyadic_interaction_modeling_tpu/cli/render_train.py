@@ -57,6 +57,8 @@ def main(argv=None):
                              "the perceptual loss uses random VGG features")
     parser.add_argument("--perceptual", type=str, default="vgg19",
                         choices=["vgg19", "l1"])
+    parser.add_argument("--prefetch", type=int, default=0,
+                        help="background-thread batch prefetch depth (0=off)")
     args = parser.parse_args(argv)
     logger = setup(args)
 
@@ -95,7 +97,12 @@ def main(argv=None):
                           logger=logger)
     if trainer.load_latest():
         logger.info(f"resumed from iteration {trainer.iteration}")
-    trainer.train(ds.batches(args.batch_size, args.steps_per_epoch),
+    batches = ds.batches(args.batch_size, args.steps_per_epoch)
+    if getattr(args, "prefetch", 0):
+        from ..data.loader import PrefetchLoader
+
+        batches = PrefetchLoader(batches, depth=args.prefetch)
+    trainer.train(batches,
                   max_epochs=args.max_epochs,
                   snapshot_iter=args.snapshot_iter,
                   logging_iter=args.logging_iter)
