@@ -62,6 +62,10 @@ def main(argv=None):
 
     model = SLMFT(slm_cfg, vq_cfg, dtype=getattr(jnp, args.dtype))
     train_loader, val_loader = make_loaders(args, args.batch_size)
+    if args.prefetch:
+        from ..data.loader import PrefetchLoader
+
+        train_loader = PrefetchLoader(train_loader, depth=args.prefetch)
     rng = jax.random.PRNGKey(0)
     batch0 = next(_batches(train_loader))
     params = model.init(jax.random.PRNGKey(1), *batch0, rng)["params"]
