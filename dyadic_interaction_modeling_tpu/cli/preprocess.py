@@ -394,6 +394,85 @@ def run_voca(args) -> int:
 # ---------------------------------------------------------------------------
 
 
+def run_render_prep(args) -> str:
+    """Package videos / frame dirs + per-clip coefficient matrices into the
+    renderer's clip-dir layout (``render.data.load_clip_dirs``):
+
+        out/<clip>/frames/00000.png ...
+        out/<clip>/coeffs/<frame>/pose.npy, exp.npy
+
+    This is the role ``Pirender/scripts/prepare_vox_lmdb.py`` plays for the
+    reference's lmdb VoxDataset (the lmdb library is not in this image; the
+    clip-dir layout is this framework's equivalent container). The upstream
+    keypoint / 3DMM extraction steps (``scripts/coeff_detector.py``,
+    ``face_recon_*.py``) depend on external pretrained face models that are
+    not bundled - this step consumes their OUTPUT: one ``(T, C)`` ``.npy``
+    coefficient matrix per clip (pose-first, default 6+50 EMOCA split).
+    """
+    from ..postprocess.smoothing import export_emoca_dirs
+
+    logger = get_logger()
+    os.makedirs(args.out, exist_ok=True)
+    if args.synthetic:
+        rng = np.random.RandomState(0)
+        src_v = os.path.join(args.out, "_synthetic_videos")
+        src_c = os.path.join(args.out, "_synthetic_coeffs")
+        os.makedirs(src_c, exist_ok=True)
+        import cv2
+
+        for clip in ("clipA", "clipB"):
+            os.makedirs(src_v, exist_ok=True)
+            path = os.path.join(src_v, f"{clip}.mp4")
+            wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 25, (64, 64))
+            for _ in range(6):
+                wr.write(rng.randint(0, 255, (64, 64, 3), np.uint8))
+            wr.release()
+            np.save(os.path.join(src_c, f"{clip}.npy"),
+                    rng.randn(6, 56).astype(np.float32))
+        args.videos, args.coeffs = src_v, src_c
+
+    import cv2
+
+    n_clips = 0
+    for fname in sorted(os.listdir(args.videos)):
+        stem, ext = os.path.splitext(fname)
+        if ext.lower() not in (".mp4", ".avi", ".mov", ".mkv"):
+            continue
+        coeff_path = os.path.join(args.coeffs, stem + ".npy")
+        if not os.path.exists(coeff_path):
+            logger.info(f"render-prep: no coeffs for {stem}, skipped")
+            continue
+        coeffs = np.load(coeff_path)
+        cap = cv2.VideoCapture(os.path.join(args.videos, fname))
+        fdir = os.path.join(args.out, stem, "frames")
+        os.makedirs(fdir, exist_ok=True)
+        i = 0
+        while True:
+            ok, frame = cap.read()
+            if not ok or i >= coeffs.shape[0]:
+                break
+            frame = cv2.resize(frame, (args.resolution, args.resolution))
+            cv2.imwrite(os.path.join(fdir, f"{i:05d}.png"), frame)
+            i += 1
+        cap.release()
+        # frame/coeff lengths must agree for FramePairDataset
+        export_emoca_dirs(os.path.join(args.out, stem), "coeffs",
+                          coeffs[:i], pose_dims=args.pose_dims,
+                          smooth_window=None)
+        n_clips += 1
+        logger.info(f"render-prep: {stem}: {i} frames")
+    logger.info(f"render-prep: wrote {n_clips} clip dirs under {args.out}")
+    if args.synthetic:
+        # smoke: the produced tree must load through the real reader
+        from ..render.data import load_clip_dirs
+
+        clips = load_clip_dirs(args.out, resolution=args.resolution)
+        assert len(clips) == n_clips, (len(clips), n_clips)
+        logger.info(f"render-prep: load_clip_dirs round-trip OK ({len(clips)})")
+    return args.out
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="DIM preprocessing (reference offline scripts)")
@@ -447,10 +526,18 @@ def main(argv=None) -> int:
     p.add_argument("--camera", type=str, default="26_C")
     p.add_argument("--subjects", type=str, default="8")
 
+    p = sub.add_parser("render-prep")
+    common(p)
+    p.add_argument("--videos", type=str, help="dir of clip videos")
+    p.add_argument("--coeffs", type=str,
+                   help="dir of per-clip (T, C) coefficient .npy files")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--pose-dims", type=int, default=6)
+
     args = parser.parse_args(argv)
     runner = {"candor": run_candor, "vico": run_vico, "vico-l2l": run_vico_l2l,
               "elp": run_elp, "l2l": run_l2l, "deception": run_deception,
-              "voca": run_voca}[args.cmd]
+              "voca": run_voca, "render-prep": run_render_prep}[args.cmd]
     return runner(args)
 
 

@@ -33,6 +33,20 @@ def test_preprocess_candor(tmp_path):
     assert feats["video"].shape[-1] == 56 and feats["audio"].shape[-1] == 768
 
 
+def test_preprocess_render_prep(tmp_path):
+    """prepare_vox_lmdb equivalent: video + coeff matrix -> clip dirs that
+    the renderer's load_clip_dirs consumes (round-trip asserted in-CLI)."""
+    out = PPCLI.main(["render-prep", "--synthetic", "--resolution", "32",
+                      "--out", str(tmp_path)])
+    assert out == str(tmp_path)
+    import numpy as np
+
+    assert sorted(os.listdir(tmp_path / "clipA" / "frames"))[0] == "00000.png"
+    pose = np.load(tmp_path / "clipA" / "coeffs" / "00000" / "pose.npy")
+    exp = np.load(tmp_path / "clipA" / "coeffs" / "00000" / "exp.npy")
+    assert pose.shape == (6,) and exp.shape == (50,)
+
+
 def test_preprocess_vico(tmp_path):
     n = PPCLI.main(["vico", "--synthetic", "--out", str(tmp_path)])
     assert n == 1
