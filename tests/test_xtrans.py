@@ -122,10 +122,13 @@ def test_generate_chunked_matches_unchunked():
     params = dec.init(jax.random.PRNGKey(1), prompt, ctx)
     ctx_mask = jnp.array([[True] * 6, [True] * 4 + [False] * 2, [True] * 6])
 
-    for seq_len in (17, 16, 31):
+    # (seq_len, chunk) pairs cover: remainder segment (17 % 4), exact
+    # multiple (16 / 4), chunk >= seq_len (single-scan shortcut)
+    cases = {17: (4, 8), 16: (4, 64)}
+    for seq_len, chunks in cases.items():
         base = generate_tokens(dec, params, prompt, seq_len, ctx, ctx_mask,
                                jax.random.PRNGKey(5))
-        for chunk in (4, 8, 16, 64):
+        for chunk in chunks:
             chunked = generate_tokens(dec, params, prompt, seq_len, ctx,
                                       ctx_mask, jax.random.PRNGKey(5),
                                       chunk=chunk)
