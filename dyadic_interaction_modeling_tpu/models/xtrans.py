@@ -27,7 +27,7 @@ the sample axis (engine.pt_engine) instead of looping.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
