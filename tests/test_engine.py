@@ -109,6 +109,19 @@ def test_prefetch_loader_matches_sequential():
     assert len(list(pre)) == len(direct)
 
 
+def test_prefetch_loader_device_put():
+    from dyadic_interaction_modeling_tpu.data.loader import PrefetchLoader
+
+    ds = synthetic_vico_dataset(n_clips=4, min_len=10, max_len=20, seed=0)
+    loader = PaddedBatchLoader(ds, batch_size=2, shuffle=False)
+    pre = PrefetchLoader(loader, depth=1, transform=slm_batch_from_collated,
+                         device_put=True)
+    batches = list(pre)
+    assert batches and all(isinstance(x, jax.Array) for b in batches for x in b)
+    ref = [slm_batch_from_collated(c) for c in loader]
+    np.testing.assert_array_equal(np.asarray(batches[0][0]), ref[0][0])
+
+
 def test_prefetch_loader_propagates_worker_errors():
     from dyadic_interaction_modeling_tpu.data.loader import PrefetchLoader
 
