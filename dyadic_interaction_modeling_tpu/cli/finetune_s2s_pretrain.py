@@ -50,7 +50,11 @@ def main(argv=None):
     parser.add_argument("--speaker-vq", type=str, default=None)
     parser.add_argument("--listener-vq", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=4)
-    parser.add_argument("--lr", type=float, default=1e-4)
+    # Reference: AdamW(lr=1e-5) w/ torch default weight_decay=0.01 + clip=1.0
+    # (finetune_s2s_pretrain.py:60,77,118,135; x_engine_pt.py:37-38).
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--clip-norm", type=float, default=1.0)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
@@ -76,16 +80,22 @@ def main(argv=None):
         # (legacy key handling mirrors finetune_s2s_pretrain.py:47-58)
         params = partial_load(params, loaded)
     state = create_train_state(model, params, args.lr,
+                               weight_decay=args.weight_decay,
+                               clip_norm=args.clip_norm,
                                frozen_substrings=SLMFT_FROZEN_SUBSTRINGS)
     step = make_slm_train_step(model)
-    keeper = BestCheckpointKeeper(args.save_path or "./runs_vico_ft/model")
+    save_dir = args.save_path or "./runs_vico_ft/model"
+    keeper = BestCheckpointKeeper(save_dir)
+    from ..utils.observability import MetricsWriter
+
+    writer = MetricsWriter(save_dir, hparams=slm_cfg)
 
     epochs = slm_cfg.get_or("epochs", 10)
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
         rng, sub = jax.random.split(rng)
-        state, _ = train_epoch(state, _batches(train_loader), step, sub,
-                               epoch=epoch, logger=logger)
+        state, logs = train_epoch(state, _batches(train_loader), step, sub,
+                                  epoch=epoch, logger=logger)
         rng, sub = jax.random.split(rng)
         y_true, y_pred, xs, _ = evaluate_finetune_epoch(
             state.params, model, _batches(val_loader), sub)
@@ -93,8 +103,17 @@ def main(argv=None):
         fd = metrics["fid_pose"] + metrics["fid_exp"]
         logger.info(f"Epoch {epoch}: FD pose {metrics['fid_pose']:.4f} "
                     f"exp {metrics['fid_exp']:.4f}")
+        if logs:
+            writer.add_scalars(logs, epoch + 1, prefix="train/")
+        import numpy as _np
+
+        writer.add_scalars({k: float(v) for k, v in metrics.items()
+                            if _np.isscalar(v) or _np.ndim(v) == 0},
+                           epoch + 1, prefix="val/")
+        writer.add_scalar("learning_rate", args.lr, epoch + 1)
         if keeper.update(fd, state.params, epoch):
             logger.info(f"Epoch {epoch}: new best FD {fd:.4f}")
+    writer.close()
     return state, keeper
 
 

@@ -20,7 +20,13 @@ from .common import get_parser, load_config, setup
 
 def main(argv=None):
     parser = get_parser("EmocaConverter training")
-    parser.add_argument("--lr", type=float, default=1e-4)
+    # Reference: AdamW(lr=1e-5) w/ torch default weight_decay=0.01
+    # (train_converter.py:78). It passes clip=1.0, but its train_epoch calls
+    # clip_grad_norm_ BEFORE loss.backward() (train_converter.py:35-37), when
+    # grads are still zeroed -- so clipping is a no-op there; default 0 here.
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--clip-norm", type=float, default=0.0)
     parser.add_argument("--mouth-weight", type=float, default=5.0)
     parser.add_argument("--mouth-map", type=str, default=None,
                         help="path to lve.txt region file")
@@ -53,6 +59,8 @@ def main(argv=None):
 
     params = model.init(jax.random.PRNGKey(0), *batches[0][:2])["params"]
     state = create_train_state(model, params, args.lr,
+                               weight_decay=args.weight_decay,
+                               clip_norm=args.clip_norm,
                                frozen_substrings=CONVERTER_FROZEN_SUBSTRINGS)
 
     def loss_fn(p, template, emoca, verts):

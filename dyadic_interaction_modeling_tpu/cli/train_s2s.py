@@ -35,7 +35,11 @@ def _batches(loader):
 def main(argv=None):
     parser = get_parser("ListenerGenerator training")
     parser.add_argument("--batch-size", type=int, default=4)
-    parser.add_argument("--lr", type=float, default=1e-4)
+    # Reference: AdamW(lr=1e-5) w/ torch default weight_decay=0.01; its epoch
+    # loop passes clip=0.0 (train_s2s.py:80,96).
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--clip-norm", type=float, default=0.0)
     parser.add_argument("--use-ids", action="store_true",
                         help="condition on speaker/listener identity embeddings")
     args = parser.parse_args(argv)
@@ -53,7 +57,10 @@ def main(argv=None):
     b0 = next(_batches(train_loader))
     sp0, li0 = (b0[3], b0[4]) if args.use_ids else (None, None)
     params = model.init(jax.random.PRNGKey(0), b0[0], b0[1], b0[2], sp0, li0)["params"]
-    state = create_train_state(model, params, args.lr, frozen_substrings=LG_FROZEN)
+    state = create_train_state(model, params, args.lr,
+                               weight_decay=args.weight_decay,
+                               clip_norm=args.clip_norm,
+                               frozen_substrings=LG_FROZEN)
 
     def loss_fn(p, batch, use_ids):
         src, tgt, mask, sp, li = batch
@@ -66,7 +73,11 @@ def main(argv=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, args.use_ids)
         return state.apply_gradients(grads=grads), loss
 
-    keeper = BestCheckpointKeeper(args.save_path or "./runs_s2s/model")
+    save_dir = args.save_path or "./runs_s2s/model"
+    keeper = BestCheckpointKeeper(save_dir)
+    from ..utils.observability import MetricsWriter
+
+    writer = MetricsWriter(save_dir, hparams=cfg)
     epochs = cfg.get_or("epochs", 10)
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
@@ -76,8 +87,12 @@ def main(argv=None):
                       for b in _batches(val_loader)]
         val = float(np.mean(val_losses))
         logger.info(f"Epoch {epoch}: train loss {float(loss):.4f} val loss {val:.4f}")
+        writer.add_scalar("train/loss", float(loss), epoch + 1)
+        writer.add_scalar("val/loss", val, epoch + 1)
+        writer.add_scalar("learning_rate", args.lr, epoch + 1)
         if keeper.update(val, state.params, epoch):
             logger.info(f"Epoch {epoch}: new best val {val:.4f}")
+    writer.close()
     return state, keeper
 
 

@@ -73,7 +73,12 @@ def main(argv=None):
     parser.add_argument("--speaker-vq", type=str, default=None)
     parser.add_argument("--listener-vq", type=str, default=None)
     parser.add_argument("--batch-size", type=int, default=32)
-    parser.add_argument("--lr", type=float, default=1e-4)
+    # Reference: torch.optim.AdamW(lr=1e-5) -- torch's DEFAULT
+    # weight_decay=0.01 -- plus clip=1.0 in the engine
+    # (train_s2s_pretrain.py:45,59; x_engine_pt.py:37-38).
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--clip-norm", type=float, default=1.0)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--vq-token-cache", action="store_true",
@@ -98,10 +103,16 @@ def main(argv=None):
     params = model.init(jax.random.PRNGKey(1), *batch0, rng)["params"]
     params = load_pretrained_vqs(params, vq_cfg, args.speaker_vq, args.listener_vq)
     state = create_train_state(model, params, args.lr,
+                               weight_decay=args.weight_decay,
+                               clip_norm=args.clip_norm,
                                frozen_substrings=SLM_FROZEN_SUBSTRINGS)
     step = make_slm_train_step(model, with_vq_tokens=args.vq_token_cache)
-    keeper = BestCheckpointKeeper(args.save_path or "./runs_pretrain/model")
+    save_dir = args.save_path or "./runs_pretrain/model"
+    keeper = BestCheckpointKeeper(save_dir)
     vq_cache = VQTokenCache(model) if args.vq_token_cache else None
+    from ..utils.observability import MetricsWriter
+
+    writer = MetricsWriter(save_dir, hparams=slm_cfg)
 
     epochs = slm_cfg.get_or("epochs", 10)
     for epoch in range(epochs):
@@ -117,8 +128,14 @@ def main(argv=None):
         val_loss = sum(val[k] for k in ("l_ce_s", "l_ce_l", "l_cont_s",
                                         "l_cont_l", "nce"))
         logger.info(f"Epoch {epoch} val loss {val_loss:.4f}: {val}")
+        if logs:
+            writer.add_scalars(logs, epoch + 1, prefix="train/")
+        writer.add_scalars(val, epoch + 1, prefix="val/")
+        writer.add_scalar("val/loss", val_loss, epoch + 1)
+        writer.add_scalar("learning_rate", args.lr, epoch + 1)
         if keeper.update(val_loss, state.params, epoch):
             logger.info(f"Epoch {epoch}: new best {val_loss:.4f}")
+    writer.close()
     return state, keeper
 
 

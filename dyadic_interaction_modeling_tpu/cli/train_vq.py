@@ -93,25 +93,48 @@ def main(argv=None):
 
         train_loader = PrefetchLoader(train_loader, depth=args.prefetch)
     params = model.init(jax.random.PRNGKey(cfg.get_or("manual_seed", 131)), sample)
+    # Reference quirk: the AdamW branch passes no weight_decay, so torch's
+    # DEFAULT 0.01 applies and the config's weight_decay (0.002) is IGNORED
+    # (train_vq.py:112; only the unused SGD branch at :109-110 reads it).
+    # Reproduced deliberately; opt out with `adamw_config_weight_decay True`
+    # on the CLI to honor the config value instead.
+    if cfg.get_or("adamw_config_weight_decay", False):
+        weight_decay = cfg.get_or("weight_decay", 0.0)
+    else:
+        weight_decay = 0.01
     state = create_train_state(model, params, cfg.base_lr,
-                               weight_decay=cfg.get_or("weight_decay", 0.0))
+                               weight_decay=weight_decay)
     step = make_vq_train_step(model, cfg.get_or("quant_loss_weight", 1.0),
                               audio_visual)
     eval_step = make_vq_eval_step(model, cfg.get_or("quant_loss_weight", 1.0),
                                   audio_visual)
-    keeper = BestCheckpointKeeper(args.save_path or cfg.get_or("save_path", None)
-                                  or "./runs_vq/model")
+    save_dir = (args.save_path or cfg.get_or("save_path", None)
+                or "./runs_vq/model")
+    keeper = BestCheckpointKeeper(save_dir)
+    # tensorboard-equivalent scalars (train_vq.py:68,147-149,230-233)
+    from ..utils.observability import MetricsWriter
 
+    writer = MetricsWriter(save_dir, hparams=cfg)
+
+    steps_per_epoch = len(train_ds) // max(1, cfg.get_or("batch_size", 1))
     for epoch in range(cfg.epochs):
         train_loader.set_epoch(epoch)
         state, metrics = train_epoch(state, train_loader, step, epoch=epoch,
                                      print_freq=cfg.get_or("print_freq", 500),
-                                     logger=logger)
+                                     logger=logger, writer=writer,
+                                     step_offset=epoch * steps_per_epoch,
+                                     lr=cfg.base_lr)
+        for k in ("rec_loss", "quant_loss", "perplexity"):
+            if k in metrics:
+                writer.add_scalar(f"train/{k}", metrics[k], epoch + 1)
         val = validate(state.params, val_loader, eval_step)
         logger.info(f"Epoch {epoch} val: " +
                     " ".join(f"{k} {v:.4f}" for k, v in val.items()))
+        for k in ("rec_loss", "quant_loss", "perplexity"):
+            writer.add_scalar(f"val/{k}", val[k], epoch + 1)
         if keeper.update(val["rec_loss"], state.params, epoch):
             logger.info(f"Epoch {epoch}: new best rec_loss {val['rec_loss']:.4f}")
+    writer.close()
     return state, keeper
 
 

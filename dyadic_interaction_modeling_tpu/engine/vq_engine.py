@@ -65,9 +65,15 @@ def make_vq_eval_step(model, quant_loss_weight: float = 1.0,
 
 def train_epoch(state: TrainState, loader: Iterable, train_step: Callable,
                 epoch: int = 0, print_freq: int = 500, logger=None,
-                meters: Optional[Dict[str, AverageMeter]] = None
+                meters: Optional[Dict[str, AverageMeter]] = None,
+                writer=None, step_offset: int = 0, lr: Optional[float] = None
                 ) -> Tuple[TrainState, Dict[str, float]]:
-    """Host loop mirroring train_vq.train (train_vq.py:174-233)."""
+    """Host loop mirroring train_vq.train (train_vq.py:174-233).
+
+    ``writer``: optional utils.observability.MetricsWriter; batch scalars are
+    written at the print cadence with the reference's tags
+    (train_vq.py:230-233), at global step ``step_offset + i + 1``.
+    """
     logger = logger or get_logger()
     meters = meters or {k: AverageMeter() for k in
                         ("loss", "rec_loss", "quant_loss", "perplexity", "batch_time")}
@@ -85,6 +91,12 @@ def train_epoch(state: TrainState, loader: Iterable, train_step: Callable,
                 f"Epoch {epoch} iter {i + 1}: loss {meters['loss'].val:.4f} "
                 f"rec {meters['rec_loss'].val:.4f} quant {meters['quant_loss'].val:.4f} "
                 f"ppl {meters['perplexity'].val:.1f}")
+            if writer is not None:
+                step = step_offset + i + 1
+                writer.add_scalar("train_batch/loss", meters["rec_loss"].val, step)
+                writer.add_scalar("train_batch/loss_2", meters["quant_loss"].val, step)
+                if lr is not None:
+                    writer.add_scalar("learning_rate", lr, step)
     if metrics is None:
         return state, {}
     out = {k: float(metrics[k]) for k in ("loss", "rec_loss", "quant_loss", "perplexity")}

@@ -263,6 +263,15 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="w2")(h)
 
 
+def _xt_norm(dtype, name):
+    """x-transformers' custom LayerNorm is SCALE-ONLY: gamma is a parameter
+    but beta is a zero BUFFER that never trains (1.30 layout, see
+    utils/torch_import.py). A trainable bias here would drift from the
+    reference during finetuning - caught by tests/test_train_parity_torch.py.
+    """
+    return nn.LayerNorm(dtype=dtype, use_bias=False, name=name)
+
+
 class EncoderLayers(nn.Module):
     """Pre-norm (self-attn, ff) x depth + final norm (x-transformers Encoder)."""
 
@@ -276,13 +285,13 @@ class EncoderLayers(nn.Module):
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None) -> Array:
         for i in range(self.depth):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn_{i}")(x)
+            h = _xt_norm(self.dtype, f"norm_attn_{i}")(x)
             x = x + XAttention(self.dim, self.heads, self.dim_head,
                                dtype=self.dtype, name=f"attn_{i}")(
                 h, key_mask=key_mask, attn_mask=attn_mask)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")(x)
+            h = _xt_norm(self.dtype, f"norm_ff_{i}")(x)
             x = x + FeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return _xt_norm(self.dtype, "final_norm")(x)
 
 
 class DecoderLayers(nn.Module):
@@ -296,22 +305,22 @@ class DecoderLayers(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.norm_self = [nn.LayerNorm(dtype=self.dtype, name=f"norm_self_{i}")
+        self.norm_self = [_xt_norm(self.dtype, f"norm_self_{i}")
                           for i in range(self.depth)]
         self.self_attn = [XAttention(self.dim, self.heads, self.dim_head, causal=True,
                                      dtype=self.dtype, name=f"self_{i}")
                           for i in range(self.depth)]
         if self.cross_attend:
-            self.norm_cross = [nn.LayerNorm(dtype=self.dtype, name=f"norm_cross_{i}")
+            self.norm_cross = [_xt_norm(self.dtype, f"norm_cross_{i}")
                                for i in range(self.depth)]
             self.cross_attn = [XAttention(self.dim, self.heads, self.dim_head,
                                           dtype=self.dtype, name=f"cross_{i}")
                                for i in range(self.depth)]
-        self.norm_ff = [nn.LayerNorm(dtype=self.dtype, name=f"norm_ff_{i}")
+        self.norm_ff = [_xt_norm(self.dtype, f"norm_ff_{i}")
                         for i in range(self.depth)]
         self.ff = [FeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")
                    for i in range(self.depth)]
-        self.final_norm = nn.LayerNorm(dtype=self.dtype)
+        self.final_norm = _xt_norm(self.dtype, "final_norm")
 
     def __call__(self, x: Array, context: Optional[Array] = None,
                  self_key_mask: Optional[Array] = None,

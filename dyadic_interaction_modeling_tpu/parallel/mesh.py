@@ -81,21 +81,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def tp_param_spec(path, leaf, model_axis_size: int,
-                  name_substrings: Sequence[str] = ("ff_", "to_logits"),
-                  min_width: int = 64) -> P:
-    """Tensor-parallel sharding rule for SLM-family params.
+# Megatron-style pairing: column-parallel kernels shard their OUTPUT dim,
+# the matching row-parallel kernels shard their INPUT (contraction) dim, so
+# the activation between them stays sharded on 'model' and the only
+# collective is one all-reduce after the row matmul (inserted by GSPMD).
+# Round 2 sharded only ff/logits outputs, leaving attention + the w2
+# contraction replicated - GSPMD bounced layouts mid-layer ("Involuntary full
+# rematerialization" warnings in MULTICHIP_r02.json).
+_TP_COLUMN = ("to_q/", "to_k/", "to_v/", "w1/", "to_logits/")
+_TP_ROW = ("to_out/", "w2/")
 
-    Shards the widest matmuls - decoder feedforward kernels and the logits
-    projection - over the ``model`` axis on their OUTPUT dim; everything else
-    is replicated. The matching all-reduce is inserted by XLA (GSPMD) inside
-    the jitted step; activations stay sharded through the pointwise ops
-    between the two feedforward matmuls.
+
+def tp_param_spec(path, leaf, model_axis_size: int, min_width: int = 64) -> P:
+    """Tensor-parallel sharding rule for the SLM-family transformer stacks
+    (models/xtrans.py): attention q/k/v + ff up + logits column-parallel,
+    attention out + ff down row-parallel; everything else replicated.
     """
     names = "/".join(str(getattr(p, "key", "")) for p in path)
-    if leaf.ndim == 2 and leaf.shape[-1] % model_axis_size == 0 and any(
-            s in names for s in name_substrings) and leaf.shape[-1] >= min_width:
+    if leaf.ndim != 2:
+        return P()
+    if (any(s in names for s in _TP_COLUMN)
+            and leaf.shape[-1] % model_axis_size == 0
+            and leaf.shape[-1] >= min_width):
         return P(None, "model")
+    if (any(s in names for s in _TP_ROW)
+            and leaf.shape[0] % model_axis_size == 0
+            and leaf.shape[0] >= min_width):
+        return P("model", None)
     return P()
 
 
@@ -122,7 +134,13 @@ def fsdp_param_spec(leaf, data_axis_size: int, axis: str = "data",
     """
     if leaf.size < min_size:
         return P()
-    dims = sorted(range(leaf.ndim), key=lambda d: leaf.shape[d], reverse=True)
+    # Prefer dim 0: for flax Dense kernels (in, out) that is the CONTRACTION
+    # dim, so the use-site matmul consumes the shard and the activation comes
+    # out batch-sharded only. Sharding the OUTPUT dim instead propagates a
+    # feature-dim sharding into the attention head reshapes and GSPMD falls
+    # back to involuntary rematerialization (seen in the 8-way dryrun).
+    dims = [0] + sorted((d for d in range(1, leaf.ndim)),
+                        key=lambda d: leaf.shape[d], reverse=True)
     for d in dims:
         if leaf.shape[d] % data_axis_size == 0:
             spec = [None] * leaf.ndim

@@ -17,10 +17,15 @@ import numpy as np
 
 
 def _t(x) -> np.ndarray:
-    """torch tensor -> numpy array (works on plain numpy too)."""
+    """torch tensor -> numpy array (works on plain numpy too).
+
+    Always copies: ``tensor.numpy()`` is a view over torch storage, and
+    ``jnp.asarray`` can zero-copy alias numpy buffers on CPU - an imported
+    param tree must not mutate when the source torch model trains in place.
+    """
     if hasattr(x, "detach"):
         x = x.detach().cpu().numpy()
-    return np.asarray(x)
+    return np.array(x)
 
 
 def normalize_legacy_keys(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
@@ -135,13 +140,22 @@ def _vq_decoder(tree, sd, cfg, prefix="decoder", flax_prefix="decoder",
 
 
 def torch_vq_to_flax(state_dict: Mapping[str, Any], cfg, variant: str = "BIWI") -> Dict:
-    """Reference VQAutoEncoder state_dict -> flax params for models.vq_vae.VQAutoEncoder."""
+    """Reference VQAutoEncoder state_dict -> flax params for models.vq_vae.VQAutoEncoder.
+
+    Tolerates PARTIAL dicts (a TPU-side export of e.g. SLMFT's speaker_vq has
+    no decoder because flax never materialized one); reference checkpoints
+    are always complete, and template filtering downstream still errors on
+    genuinely missing coverage.
+    """
     sd = normalize_legacy_keys(state_dict)
     tree: Dict = {}
     biwi = variant == "BIWI"
-    _vq_encoder(tree, sd, cfg, post=biwi)
-    _vq_decoder(tree, sd, cfg, pre=biwi, out_bias=not biwi)
-    _set(tree, "quantize/embedding", _t(sd["quantize.embedding.weight"]))
+    if "encoder.vertice_mapping.0.weight" in sd:
+        _vq_encoder(tree, sd, cfg, post=biwi)
+    if "decoder.decoder_linear_embedding.net.weight" in sd:
+        _vq_decoder(tree, sd, cfg, pre=biwi, out_bias=not biwi)
+    if "quantize.embedding.weight" in sd:
+        _set(tree, "quantize/embedding", _t(sd["quantize.embedding.weight"]))
     return {"params": tree}
 
 
@@ -202,13 +216,17 @@ def _xt_ff(tree, flax_prefix, sd, prefix):
 
 
 def _xt_norm(tree, flax_path, sd, torch_prefix):
+    """The x-transformers LayerNorm is SCALE-ONLY: beta is a zeros BUFFER
+    that never trains, so our flax modules have no bias leaf (use_bias=False
+    in models/xtrans._xt_norm). A beta in the state_dict is validated to be
+    zero and dropped."""
     w = _t(sd[f"{torch_prefix}.weight"])
     _set(tree, f"{flax_path}/scale", w)
     b = sd.get(f"{torch_prefix}.bias")
-    # the x-transformers LayerNorm keeps beta as a zeros BUFFER; some save
-    # paths drop buffers - treat a missing bias as zeros.
-    _set(tree, f"{flax_path}/bias",
-         _t(b) if b is not None else np.zeros_like(w))
+    if b is not None and np.abs(_t(b)).max() > 0:
+        raise ValueError(
+            f"{torch_prefix}.bias (x-transformers beta buffer) is nonzero - "
+            "the checkpoint was not produced by the supported 1.30 layout")
 
 
 def _xt_final_norm_prefix(sd, prefix):
@@ -287,13 +305,18 @@ def _mesh_head(tree, flax_prefix, sd, torch_prefix):
 
 def _converter_heads(tree, sd):
     """The EmocaConverter head stack shared by SpeakerSLMFT
-    (seq2seq_pretrain.py:563-573, 784-824)."""
-    _dense(tree, "vertice_mapping", sd, "vertice_mapping.0")
-    _conv1d(tree, "squasher/block_0", sd, "squasher.0.0")
-    _lstm(tree, "vertice_map_reverse_lstm", sd, "vertice_map_reverse_lstm")
-    _lstm(tree, "vertice_map_reverse_lstm_2", sd, "vertice_map_reverse_lstm_2")
-    _mesh_head(tree, "vertice_map_reverse", sd, "vertice_map_reverse")
-    _mesh_head(tree, "vertice_map_reverse2", sd, "vertice_map_reverse2")
+    (seq2seq_pretrain.py:563-573, 784-824). Each head is optional so partial
+    TPU-side exports round-trip (template filtering still enforces coverage)."""
+    if "vertice_mapping.0.weight" in sd:
+        _dense(tree, "vertice_mapping", sd, "vertice_mapping.0")
+    if "squasher.0.0.weight" in sd:
+        _conv1d(tree, "squasher/block_0", sd, "squasher.0.0")
+    for nm in ("vertice_map_reverse_lstm", "vertice_map_reverse_lstm_2"):
+        if f"{nm}.weight_ih_l0" in sd:
+            _lstm(tree, nm, sd, nm)
+    for nm in ("vertice_map_reverse", "vertice_map_reverse2"):
+        if f"{nm}.0.weight" in sd:
+            _mesh_head(tree, nm, sd, nm)
 
 
 def _sub_state_dict(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:

@@ -44,13 +44,22 @@ def test_module_import_is_jax_free():
 
 
 def test_driver_multichip_invocation_from_clean_shell():
-    """Verbatim driver call: no mesh env vars, 1 visible device, must exit 0."""
+    """Verbatim driver call: no mesh env vars, 1 visible device, must exit 0.
+
+    Also asserts the TP layout is GSPMD-clean: no involuntary
+    rematerialization / replication warnings (the round-2 layout bounced
+    activations mid-layer; see parallel/mesh.py TP rules).
+    """
     proc = subprocess.run(
         [sys.executable, ENTRY, "multichip", "8"],
         cwd=REPO, env=_clean_env(), timeout=1200,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     assert proc.returncode == 0, proc.stdout[-4000:]
     assert "dryrun_multichip OK on 8 devices" in proc.stdout
+    for bad in ("Involuntary full rematerialization", "will replicate"):
+        assert bad not in proc.stdout, (
+            "GSPMD resharding warning in multichip dryrun:\n"
+            + "\n".join(l for l in proc.stdout.splitlines() if bad in l)[:2000])
 
 
 def test_dryrun_multichip_inproc_on_existing_mesh():

@@ -66,28 +66,56 @@ def test_merge_biwi_to_emoca(tmp_path):
     assert exp.shape == (50,)
 
 
-def test_cli_train_vq_synthetic_smoke():
+def _assert_observability_artifacts(save_dir, want_tags):
+    """The training CLIs mirror the reference's tensorboard surface
+    (train_vq.py:68,147-149,230-233): scalars.jsonl + hparams.json always,
+    event files when torch.utils.tensorboard imports."""
+    import glob
+    import json
+
+    jsonl = os.path.join(save_dir, "scalars.jsonl")
+    assert os.path.isfile(jsonl), "scalars.jsonl missing"
+    tags = {json.loads(line)["tag"] for line in open(jsonl)}
+    missing = set(want_tags) - tags
+    assert not missing, f"missing scalar tags: {missing} (have {tags})"
+    assert os.path.isfile(os.path.join(save_dir, "hparams.json"))
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+
+        assert glob.glob(os.path.join(save_dir, "events.out.tfevents.*"))
+    except ImportError:
+        pass
+
+
+def test_cli_train_vq_synthetic_smoke(tmp_path):
     from dyadic_interaction_modeling_tpu.cli import train_vq
 
+    save = str(tmp_path / "vq")
     state, keeper = train_vq.main([
-        "--synthetic", "--epochs", "1", "--save-path", "/tmp/test_vq_ckpt",
+        "--synthetic", "--epochs", "1", "--save-path", save,
         "hidden_size", "32", "num_hidden_layers", "1", "num_attention_heads", "2",
         "intermediate_size", "64", "zquant_dim", "16", "n_embed", "24",
         "batch_size", "4", "batch_size_val", "4",
     ])
     assert keeper.best is not None and np.isfinite(keeper.best)
+    _assert_observability_artifacts(save, [
+        "train/rec_loss", "train/quant_loss", "train/perplexity",
+        "val/rec_loss", "val/quant_loss", "val/perplexity"])
 
 
-def test_cli_train_s2s_pretrain_synthetic_smoke():
+def test_cli_train_s2s_pretrain_synthetic_smoke(tmp_path):
     from dyadic_interaction_modeling_tpu.cli import train_s2s_pretrain
 
+    save = str(tmp_path / "slm")
     state, keeper = train_s2s_pretrain.main([
         "--synthetic", "--batch-size", "8", "--epochs", "1",
-        "--save-path", "/tmp/test_slm_ckpt",
+        "--save-path", save,
         "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
         "dec_heads", "2", "num_tokens", "24",
     ])
     assert keeper.best is not None and np.isfinite(keeper.best)
+    _assert_observability_artifacts(save, [
+        "val/l_ce_l", "val/loss", "learning_rate"])
 
 
 def test_cli_train_stage2_synthetic_smoke():
@@ -124,16 +152,19 @@ def test_cli_test_biwi_synthetic_smoke():
     assert len(os.listdir("/tmp/test_biwi_out/pred")) == 4
 
 
-def test_cli_train_s2s_and_test_s2s_synthetic_smoke():
+def test_cli_train_s2s_and_test_s2s_synthetic_smoke(tmp_path):
     from dyadic_interaction_modeling_tpu.cli import train_s2s
 
+    save = str(tmp_path / "s2s")
     state, keeper = train_s2s.main([
         "--synthetic", "--batch-size", "4", "--epochs", "1",
-        "--save-path", "/tmp/test_s2s_ckpt",
+        "--save-path", save,
         "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
         "dec_heads", "2", "dec_num_tokens", "24",
     ])
     assert keeper.best is not None and np.isfinite(keeper.best)
+    _assert_observability_artifacts(save, [
+        "train/loss", "val/loss", "learning_rate"])
 
 
 def test_cli_train_converter_synthetic_smoke():

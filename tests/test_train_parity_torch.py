@@ -1,0 +1,468 @@
+"""Lockstep TRAINING parity vs the PyTorch reference (optimizer semantics).
+
+Forward parity alone cannot catch optimizer drift (wrong weight decay, missing
+grad clipping, mask ordering). These tests import identical initialisation into
+the torch reference modules and our flax models, feed identical batches, run K
+optimizer steps on both sides on CPU, and assert the per-step losses track and
+the final parameters agree.
+
+Reference optimizer semantics pinned here:
+
+* ``torch.optim.AdamW(lr)`` uses torch's DEFAULT ``weight_decay=0.01``
+  (train_s2s_pretrain.py:45, finetune_s2s_pretrain.py:60,118,
+  train_vq.py:112 - the AdamW branch ignores the config's weight_decay).
+* global-norm gradient clipping clip=1.0 in the SLM engines
+  (x_engine_pt.py:37-38), applied AFTER backward, over params that HAVE grads
+  (frozen ``requires_grad=False`` params are excluded from the norm).
+* frozen params receive no update and no decay (torch skips grad-None params).
+
+torch-vs-optax AdamW equivalence used throughout: torch does
+``p *= (1 - lr*wd)`` then ``p -= lr * m_hat/(sqrt(v_hat)+eps)``; optax.adamw
+does ``p -= lr * (m_hat/(sqrt(v_hat)+eps) + wd*p)`` - algebraically identical.
+
+One deliberate divergence, asserted nowhere: torch AdamW does NOT decay
+trainable params that receive no grads at all (grad is None, e.g. SLMFT's
+unused ``encoder_l``), while optax decays every unmasked leaf (zero grads).
+Those leaves are unused by construction, so the drift has no behavioral
+effect; the SLMFT test compares the parameters that participate in the
+forward pass.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, has_reference
+
+torch = pytest.importorskip("torch")
+nn = torch.nn
+
+import jax
+import jax.numpy as jnp
+
+from dyadic_interaction_modeling_tpu import config as C
+from dyadic_interaction_modeling_tpu.engine.train_state import (
+    create_train_state,
+    frozen_mask,
+    make_optimizer,
+)
+from dyadic_interaction_modeling_tpu.engine.vq_engine import make_vq_train_step
+from dyadic_interaction_modeling_tpu.models.slm import (
+    SLMFT,
+    SLMFT_FROZEN_SUBSTRINGS,
+)
+from dyadic_interaction_modeling_tpu.models.vq_vae import VQAutoEncoder
+from dyadic_interaction_modeling_tpu.utils.torch_import import (
+    torch_slm_to_flax,
+    torch_vq_to_flax,
+)
+
+from tests.test_xtrans_import import (
+    DIM,
+    DIM_A,
+    DEPTH,
+    HEADS,
+    NTOK,
+    MAXLEN,
+    XTAutoregressiveWrapper,
+    XTContinuousTransformerWrapper,
+    XTTransformerWrapper,
+    _tiny_cfgs,
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. surgical optimizer lockstep: AdamW(wd) + global-norm clip + freeze mask
+# ---------------------------------------------------------------------------
+
+
+def _two_linear_torch(seed=0):
+    torch.manual_seed(seed)
+    l1 = nn.Linear(8, 4)
+    l2 = nn.Linear(8, 4)
+    for p in l2.parameters():
+        p.requires_grad = False
+    return l1, l2
+
+
+def _params_from_torch(l1, l2):
+    def pack(lin):
+        # .copy(): jnp.asarray can zero-copy alias numpy views of torch
+        # storage on CPU, and torch's optimizer updates in place
+        return {"kernel": jnp.asarray(lin.weight.detach().numpy().T.copy()),
+                "bias": jnp.asarray(lin.bias.detach().numpy().copy())}
+
+    return {"l1": pack(l1), "l2": pack(l2)}
+
+
+def _linear_loss_np(params, x, t, scale):
+    y = x @ params["l1"]["kernel"] + params["l1"]["bias"] \
+        + x @ params["l2"]["kernel"] + params["l2"]["bias"]
+    return scale * jnp.mean(jnp.square(y - t))
+
+
+def _run_flax_linear(params, batches, lr, wd, clip, scale, steps):
+    import optax
+
+    mask = frozen_mask(params, ("l2/",))
+    tx = make_optimizer(lr, weight_decay=wd, clip_norm=clip, trainable_mask=mask)
+    opt_state = tx.init(params)
+    losses = []
+    grad_fn = jax.jit(jax.value_and_grad(
+        lambda p, x, t: _linear_loss_np(p, x, t, scale)))
+    for k in range(steps):
+        x, t = batches[k % len(batches)]
+        loss, grads = grad_fn(params, x, t)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    return params, losses
+
+
+def test_optimizer_lockstep_adamw_clip_freeze():
+    """AdamW(wd=0.01) + clip=1.0 + frozen submodule track torch exactly.
+
+    The loss scale is chosen so the global grad norm starts > 1 (clip active)
+    and falls below 1 as the loss shrinks (clip inactive) - the mixed regime
+    is what distinguishes clipped from unclipped Adam trajectories.
+    """
+    lr, wd, clip, scale, steps = 1e-2, 0.01, 1.0, 50.0, 25
+    l1, l2 = _two_linear_torch()
+    params0 = _params_from_torch(l1, l2)
+
+    rng = np.random.RandomState(0)
+    batches = [(jnp.asarray(rng.randn(16, 8).astype(np.float32)),
+                jnp.asarray(rng.randn(16, 4).astype(np.float32)))
+               for _ in range(4)]
+
+    # --- torch side: the exact reference pattern (x_engine_pt.py:30-41) ---
+    opt = torch.optim.AdamW([p for p in list(l1.parameters()) + list(l2.parameters())
+                             if p.requires_grad], lr=lr)  # default wd=0.01
+    losses_t = []
+    clip_active = False
+    for k in range(steps):
+        x, t = batches[k % len(batches)]
+        xt = torch.from_numpy(np.asarray(x))
+        tt = torch.from_numpy(np.asarray(t))
+        opt.zero_grad()
+        y = l1(xt) + l2(xt)
+        loss = scale * torch.mean((y - tt) ** 2)
+        loss.backward()
+        gnorm = torch.nn.utils.clip_grad_norm_(
+            list(l1.parameters()) + list(l2.parameters()), clip)
+        clip_active = clip_active or float(gnorm) > clip
+        opt.step()
+        losses_t.append(float(loss))
+    assert clip_active, "test design: clipping must bind on some step"
+
+    # --- flax side: make_optimizer chain (engine/train_state.py) ---
+    params, losses_j = _run_flax_linear(params0, batches, lr, wd, clip, scale, steps)
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-5, atol=1e-7)
+    # atol 5e-6: cross-framework numeric drift over 25 steps; the defect
+    # signals asserted below are >1e-4
+    np.testing.assert_allclose(np.asarray(params["l1"]["kernel"]),
+                               l1.weight.detach().numpy().T, rtol=1e-4, atol=5e-6)
+    np.testing.assert_allclose(np.asarray(params["l1"]["bias"]),
+                               l1.bias.detach().numpy(), rtol=1e-4, atol=5e-6)
+    # frozen leaves: bit-identical to init on our side, untouched on torch's
+    np.testing.assert_array_equal(np.asarray(params["l2"]["kernel"]),
+                                  np.asarray(params0["l2"]["kernel"]))
+
+    # --- sensitivity: plain Adam (the round-2 defect) must NOT pass ---
+    params_bad, _ = _run_flax_linear(params0, batches, lr, 0.0, clip, scale, steps)
+    diff = np.max(np.abs(np.asarray(params_bad["l1"]["kernel"]) -
+                         l1.weight.detach().numpy().T))
+    assert diff > 1e-4, "wd=0 run unexpectedly matched AdamW - test lost its teeth"
+    # ... and so must an unclipped run
+    params_nc, _ = _run_flax_linear(params0, batches, lr, wd, 0.0, scale, steps)
+    diff_nc = np.max(np.abs(np.asarray(params_nc["l1"]["kernel"]) -
+                            l1.weight.detach().numpy().T))
+    assert diff_nc > 1e-4, "clip=0 run unexpectedly matched clipped AdamW"
+
+
+# ---------------------------------------------------------------------------
+# 2. VQ-VAE lockstep: reference stage1_BIWI + calc_vq_loss + AdamW(default wd)
+# ---------------------------------------------------------------------------
+
+
+def _vq_cfg():
+    cfg = C.vq_listener_defaults()
+    cfg.hidden_size = 64
+    cfg.num_hidden_layers = 2
+    cfg.num_attention_heads = 4
+    cfg.intermediate_size = 128
+    cfg.zquant_dim = 32
+    cfg.n_embed = 64
+    return cfg
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_vq_train_lockstep():
+    """K AdamW steps of the VQ-VAE track the reference training exactly.
+
+    Mirrors the train_vq CLI path: our make_vq_train_step +
+    create_train_state(weight_decay=0.01) vs reference VQAutoEncoder +
+    metrics.loss.calc_vq_loss + torch.optim.AdamW(lr) (train_vq.py:112,190-196).
+    lr is raised above the shipped 1e-4 so the cumulative decay signal
+    (lr*wd*K ~ 2e-4 relative) clearly exceeds cross-framework numeric drift
+    (~1e-6); a wrong decay (0, or the config's 0.002) fails the final-param
+    comparison.
+    """
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI  # reference code, read-only
+    from metrics.loss import calc_vq_loss as ref_loss
+
+    cfg = _vq_cfg()
+    lr, steps = 2e-3, 10
+    torch.manual_seed(0)
+    ref = stage1_BIWI.VQAutoEncoder(cfg)
+    ref.eval()  # disable PE dropout; params still train
+    # The reference codebook init U(-1/n_e, 1/n_e) packs all codes within
+    # ~0.03 of each other, so nearest-code argmins sit on knife-edge ties and
+    # any 1e-7 cross-framework drift flips assignments mid-run. Lockstep
+    # needs well-separated codes; spread them (both sides import this).
+    with torch.no_grad():
+        ref.quantize.embedding.weight.copy_(
+            torch.from_numpy(np.random.RandomState(5).randn(
+                cfg.n_embed, cfg.zquant_dim).astype(np.float32) * 0.5))
+
+    rng = np.random.RandomState(1)
+    batches = [rng.randn(2, 16, cfg.in_dim).astype(np.float32) for _ in range(3)]
+
+    model = VQAutoEncoder(cfg, variant="BIWI")
+    variables = torch_vq_to_flax(ref.state_dict(), cfg, variant="BIWI")
+    step = make_vq_train_step(model, quant_loss_weight=1.0)
+
+    def run_flax(wd):
+        state = create_train_state(model, variables, lr, weight_decay=wd)
+        losses = []
+        for k in range(steps):
+            state, metrics = step(state, jnp.asarray(batches[k % len(batches)]))
+            losses.append(float(metrics["loss"]))
+        return state.params, losses
+
+    opt = torch.optim.AdamW(ref.parameters(), lr=lr)  # torch default wd=0.01
+    losses_t = []
+    for k in range(steps):
+        # torch step (train_vq.py:190-196)
+        dt = torch.from_numpy(batches[k % len(batches)])
+        out, quant_loss, _ = ref(dt)
+        loss, _ = ref_loss(out, dt, quant_loss, quant_loss_weight=1.0)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+
+    params_good, losses_j = run_flax(0.01)
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-4, atol=1e-6)
+
+    # Final params agree leaf-by-leaf on MEDIAN |diff|: elements whose grads
+    # are below Adam's eps (1e-8, the float32 grad-noise floor) take
+    # noise-determined updates on both frameworks and drift up to ~lr each -
+    # but they are SPARSE. A weight-decay mismatch instead shifts EVERY
+    # element of |p|~1 leaves by (wd_ref - wd)*lr*K (dense, 1.6e-4 for the
+    # config's 0.002), which the median sees and sparse noise does not.
+    def leaf_median_diffs(params):
+        final = torch_vq_to_flax(ref.state_dict(), cfg, variant="BIWI")["params"]
+        flat_ref = jax.tree_util.tree_leaves_with_path(final)
+        flat_ours = dict(jax.tree_util.tree_leaves_with_path(params))
+        assert len(flat_ref) == len(flat_ours)
+        return {jax.tree_util.keystr(path):
+                float(jnp.median(jnp.abs(flat_ours[path] - jnp.asarray(np.asarray(leaf)))))
+                for path, leaf in flat_ref}
+
+    diffs = leaf_median_diffs(params_good)
+    bad = {k: v for k, v in diffs.items() if v > 5e-5}
+    assert not bad, f"params diverged after {steps} steps: {bad}"
+
+    # sensitivity: honoring the config's weight_decay=0.002 (the pre-fix CLI
+    # behavior) must diverge beyond the tolerance above
+    params_002, _ = run_flax(0.002)
+    worst = max(leaf_median_diffs(params_002).values())
+    assert worst > 1e-4, f"wd=0.002 run unexpectedly matched AdamW(0.01): {worst}"
+
+
+# ---------------------------------------------------------------------------
+# 3. SLMFT lockstep: frozen VQs + causal encoder + AR decoder, AdamW + clip
+# ---------------------------------------------------------------------------
+
+
+class _TorchSLMFT(nn.Module):
+    """Deterministic torch twin of the SLMFT training forward
+    (seq2seq_pretrain.py:431-513, mask_prob corruption disabled on both
+    sides so the forwards are RNG-free)."""
+
+    def __init__(self, vq_s, vq_l):
+        super().__init__()
+        self.speaker_vq, self.listener_vq = vq_s, vq_l
+        for p in list(vq_s.parameters()) + list(vq_l.parameters()):
+            p.requires_grad = False  # seq2seq_pretrain.py:352-366
+        self.encoder_s = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.encoder_l = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.encoder_joint = XTContinuousTransformerWrapper(DIM, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.decoder_joint = XTAutoregressiveWrapper(XTTransformerWrapper(
+            NTOK, DIM + DIM_A, DEPTH, HEADS, MAXLEN, use_abs_pos_emb=False))
+        self.norm_s = nn.LayerNorm(DIM)
+        self.norm_l = nn.LayerNorm(DIM)
+        self.norm = nn.LayerNorm(DIM)
+        self.patch_embed_s = nn.Parameter(torch.randn(1, 1, 56) * 0.02)
+        self.patch_embed_l = nn.Parameter(torch.randn(1, 1, 56) * 0.02)
+        self.patch_embed_dec_s = nn.Parameter(torch.randn(1, 1, DIM) * 0.02)
+        self.patch_embed_dec_l = nn.Parameter(torch.randn(1, 1, DIM) * 0.02)
+
+    def forward(self, v_s, v_l, v_a, mask):
+        import torch.nn.functional as F
+
+        b, l, _ = v_s.shape
+        with torch.no_grad():
+            z_l = []
+            for i in range(b):
+                feats = self.listener_vq.encode(
+                    v_l[i][mask[i]].unsqueeze(0))[2][2].squeeze()
+                z_l.append(F.pad(feats, (0, l - feats.shape[-1]), value=-100))
+            z_l = torch.stack(z_l, dim=0)
+        attn = torch.ones(l, l, dtype=torch.bool).tril()
+        x_s = self.encoder_s(v_s + self.patch_embed_s, mask=mask, attn_mask=attn)
+        x_s = self.encoder_joint(x_s, mask=mask, attn_mask=attn)
+        x_s = self.norm_s(x_s)
+        ctx = torch.cat([x_s + self.patch_embed_dec_s, v_a], dim=-1)
+        inp, tgt = z_l[:, :-1], z_l[:, 1:]
+        inp = torch.where(inp >= 0, inp, torch.zeros_like(inp))
+        logits = self.decoder_joint.net(inp, context=ctx, context_mask=mask)
+        l_ce = F.cross_entropy(logits.reshape(-1, NTOK), tgt.reshape(-1),
+                               ignore_index=-100)
+        # forward_vq_decoder + continuous loss (seq2seq_pretrain.py:455-477)
+        pred_idx = torch.argmax(logits, dim=-1)
+        one_hot = torch.zeros(b, pred_idx.shape[1], self.listener_vq.quantize.n_e)
+        one_hot.scatter_(2, pred_idx.unsqueeze(2), 1)
+        zq = torch.matmul(one_hot, self.listener_vq.quantize.embedding.weight)
+        pred_cont = self.listener_vq.decode(zq.permute(0, 2, 1))
+        target = v_l[:, 1:, :].reshape(b * (l - 1), -1)
+        pred_flat = pred_cont.reshape(b * (l - 1), -1)
+        m = mask[:, 1:].reshape(-1)
+        d_pose = F.pairwise_distance(pred_flat[m][:, 0:6], target[m][:, 0:6])
+        d_exp = F.pairwise_distance(pred_flat[m][:, 6:], target[m][:, 6:])
+        l_cont = torch.mean(d_exp) + torch.mean(d_pose)
+        return l_ce + l_cont
+
+
+# SLMFT leaves that participate in the training forward (see module
+# docstring: torch does not decay grad-less unused leaves, optax does).
+_SLMFT_USED_PREFIXES = ("encoder_s", "encoder_joint", "norm_s", "patch_embed_s",
+                        "patch_embed_dec_s", "decoder_joint")
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_slmft_train_lockstep():
+    """K AdamW(wd=0.01)+clip(1.0) steps of SLMFT track the torch twin -
+    the finetune_s2s_pretrain CLI's optimizer wiring end to end."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI
+
+    cfg, vq_cfg = _tiny_cfgs()
+    lr, clip, steps = 2e-3, 1.0, 8
+    b, l = 2, 16
+    torch.manual_seed(3)
+    twin = _TorchSLMFT(stage1_BIWI.VQAutoEncoder(vq_cfg),
+                       stage1_BIWI.VQAutoEncoder(vq_cfg))
+    twin.eval()  # disable VQ PE dropout; XT dropouts are 0.0
+
+    # reference-format checkpoint dict -> flax params
+    sd = {f"{k}": v for k, v in twin.state_dict().items()}
+    model = SLMFT(cfg, vq_cfg)
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    tmpl = model.init(jax.random.PRNGKey(5),
+                      jax.random.normal(ks[0], (b, l, 56)),
+                      jax.random.normal(ks[1], (b, l, 56)),
+                      jax.random.normal(ks[2], (b, l, DIM_A)),
+                      jnp.ones((b, l), dtype=bool), None)
+    params = torch_slm_to_flax(sd, cfg, vq_cfg, variant="slmft",
+                               params_template=tmpl["params"])["params"]
+
+    @jax.jit
+    def flax_step(state, v_s, v_l, v_a, mask):
+        def loss_fn(p):
+            out = model.apply({"params": p}, v_s, v_l, v_a, mask, None)
+            return out.total_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    rng = np.random.RandomState(7)
+    mask_np = np.ones((b, l), dtype=bool)
+    mask_np[1, 12:] = False  # ragged row exercises the -100 padding path
+    batches = [(rng.randn(b, l, 56).astype(np.float32),
+                rng.randn(b, l, 56).astype(np.float32),
+                rng.randn(b, l, DIM_A).astype(np.float32)) for _ in range(3)]
+
+    opt = torch.optim.AdamW([p for p in twin.parameters() if p.requires_grad],
+                            lr=lr)  # torch default wd=0.01
+    mask_t = torch.from_numpy(mask_np)
+    mask_j = jnp.asarray(mask_np)
+
+    def run_flax(wd):
+        state = create_train_state(model, {"params": params}, lr,
+                                   weight_decay=wd, clip_norm=clip,
+                                   frozen_substrings=SLMFT_FROZEN_SUBSTRINGS)
+        losses = []
+        for k in range(steps):
+            vs, vl, va = batches[k % len(batches)]
+            state, lj = flax_step(state, jnp.asarray(vs), jnp.asarray(vl),
+                                  jnp.asarray(va), mask_j)
+            losses.append(float(lj))
+        return state, losses
+
+    losses_t = []
+    for k in range(steps):
+        vs, vl, va = batches[k % len(batches)]
+        # torch (x_engine_pt.py:30-41)
+        opt.zero_grad()
+        loss = twin(torch.from_numpy(vs), torch.from_numpy(vl),
+                    torch.from_numpy(va), mask_t)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(twin.parameters(), clip)
+        opt.step()
+        losses_t.append(float(loss))
+
+    state, losses_j = run_flax(0.01)
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=1e-5)
+
+    # used trainable params agree after K steps (decay + clip included);
+    # per-leaf MEDIAN |diff| is robust to the sparse sub-eps-grad elements
+    # whose Adam updates are float32-noise-determined (see the VQ test)
+    final = torch_slm_to_flax(twin.state_dict(), cfg, vq_cfg, variant="slmft",
+                              params_template=tmpl["params"])["params"]
+    flat_ref = jax.tree_util.tree_leaves_with_path(final)
+
+    def used_medians(ours_params):
+        flat_ours = dict(jax.tree_util.tree_leaves_with_path(ours_params))
+        out = {}
+        for path, leaf in flat_ref:
+            name = jax.tree_util.keystr(path)
+            if any(f"'{p}" in name for p in _SLMFT_USED_PREFIXES):
+                out[name] = float(jnp.median(jnp.abs(
+                    flat_ours[path] - jnp.asarray(np.asarray(leaf)))))
+        return out
+
+    meds = used_medians(state.params)
+    assert len(meds) > 20  # the comparison actually covered the stack
+    bad = {k: v for k, v in meds.items() if v > 1e-4}
+    assert not bad, f"params diverged after {steps} steps: {bad}"
+
+    # sensitivity: without decay (the round-2 defect) the |p|~1 norm-scale
+    # leaves shift by lr*wd*K = 1.6e-4 > the 1e-4 tolerance above
+    state_nowd, _ = run_flax(0.0)
+    worst = max(used_medians(state_nowd.params).values())
+    assert worst > 1.2e-4, f"wd=0 run unexpectedly matched AdamW(0.01): {worst}"
+
+    # frozen VQs never moved
+    flat_ours = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    for path, leaf in flat_ref:
+        name = jax.tree_util.keystr(path)
+        if "listener_vq" in name or "speaker_vq" in name:
+            np.testing.assert_array_equal(np.asarray(flat_ours[path]),
+                                          np.asarray(leaf))
