@@ -97,11 +97,17 @@ def main(argv=None):
                           logger=logger)
     if trainer.load_latest():
         logger.info(f"resumed from iteration {trainer.iteration}")
-    batches = ds.batches(args.batch_size, args.steps_per_epoch)
-    if getattr(args, "prefetch", 0):
-        from ..data.loader import PrefetchLoader
+    def batches():
+        # fresh generator (and prefetch wrap) per epoch: ds.batches is
+        # single-use, and max_epochs > 1 would otherwise iterate an
+        # exhausted generator and silently run zero steps
+        b = ds.batches(args.batch_size, args.steps_per_epoch)
+        if getattr(args, "prefetch", 0):
+            from ..data.loader import PrefetchLoader
 
-        batches = PrefetchLoader(batches, depth=args.prefetch)
+            b = PrefetchLoader(b, depth=args.prefetch)
+        return b
+
     trainer.train(batches,
                   max_epochs=args.max_epochs,
                   snapshot_iter=args.snapshot_iter,

@@ -58,6 +58,30 @@ def _use_flash(kv_len: int, dim_head: int) -> bool:
     return flash_available()
 
 
+def _decode_kernel_mode() -> str:
+    """``DIM_TPU_DECODE_KERNEL`` resolved ONCE per process (cached): the flag
+    is read at trace time inside jitted code and the jit cache is not keyed
+    on it, so toggling mid-process would silently keep the compiled dispatch.
+    Set it before the first model use."""
+    global _DECODE_KERNEL_MODE
+    if _DECODE_KERNEL_MODE is None:
+        import os
+
+        _DECODE_KERNEL_MODE = os.environ.get("DIM_TPU_DECODE_KERNEL", "0")
+    return _DECODE_KERNEL_MODE
+
+
+_DECODE_KERNEL_MODE: Optional[str] = None
+
+
+def reset_decode_kernel_mode() -> None:
+    """Re-read DIM_TPU_DECODE_KERNEL on next use. Test hook: fresh jit
+    closures retrace and pick up the new mode; already-compiled functions do
+    NOT (their cache is not keyed on the flag)."""
+    global _DECODE_KERNEL_MODE
+    _DECODE_KERNEL_MODE = None
+
+
 def _use_decode_kernel(kv_len: int, dim_head: int, which: str) -> bool:
     """Opt-in dispatch to the fused single-step decode-attention kernel
     (ops/pallas/decode.py). ``DIM_TPU_DECODE_KERNEL`` = ``1`` (both),
@@ -70,9 +94,7 @@ def _use_decode_kernel(kv_len: int, dim_head: int, which: str) -> bool:
     B=256/L=256; PERF.md round-2 decode notes). The production bandwidth fix
     is context sharing (``context_groups``) + chunked-prefix decode, both
     pure XLA."""
-    import os
-
-    mode = os.environ.get("DIM_TPU_DECODE_KERNEL", "0")
+    mode = _decode_kernel_mode()
     if mode not in ("1", "self", "cross") or (
             mode in ("self", "cross") and mode != which):
         return False

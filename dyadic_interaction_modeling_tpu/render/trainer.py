@@ -189,11 +189,17 @@ class FaceTrainer:
     def train(self, loader: Iterable, max_epochs: int = 1,
               snapshot_iter: int = 625, logging_iter: int = 100) -> None:
         """Epoch loop with the reference's 2-hour launch limit
-        (train.py:90-110)."""
+        (train.py:90-110).
+
+        ``loader`` may be a zero-arg CALLABLE returning a fresh iterable per
+        epoch - required for max_epochs > 1 with generator-based loaders,
+        which are single-use (a bare exhausted generator would silently run
+        zero steps from epoch 2 on).
+        """
         t0 = time.time()
         for epoch in range(self.epoch, max_epochs):
             self.epoch = epoch
-            for data in loader:
+            for data in (loader() if callable(loader) else loader):
                 losses = self.optimize_parameters(data)
                 if self.iteration % logging_iter == 0:
                     msg = " ".join(f"{k} {v:.4f}" for k, v in losses.items())

@@ -110,6 +110,19 @@ def test_render_train_cli(tmp_path):
     assert list((tmp_path / "logs" / "images").glob("*.png"))
 
 
+def test_render_train_cli_multi_epoch_with_prefetch(tmp_path):
+    """max_epochs > 1 must run steps in EVERY epoch (regression: a single-use
+    batches generator - bare or prefetch-wrapped - was exhausted after epoch
+    0 and later epochs silently ran zero steps)."""
+    from dyadic_interaction_modeling_tpu.cli import render_train
+
+    trainer = render_train.main([
+        "--synthetic", "--save-path", str(tmp_path), "--perceptual", "l1",
+        "--steps-per-epoch", "2", "--max-epochs", "3", "--prefetch", "2",
+        "--snapshot-iter", "100", "--resolution", "32"])
+    assert trainer.iteration == 6, trainer.iteration
+
+
 def test_render_inference_cli(tmp_path):
     from dyadic_interaction_modeling_tpu.cli import render_inference
 

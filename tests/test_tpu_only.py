@@ -156,11 +156,18 @@ def test_decode_step_kernel_on_equals_off_on_device():
             outs.append(logits)
         return np.asarray(jnp.stack(outs))
 
+    from dyadic_interaction_modeling_tpu.models.xtrans import (
+        reset_decode_kernel_mode,
+    )
+
     os.environ["DIM_TPU_DECODE_KERNEL"] = "0"
+    reset_decode_kernel_mode()
     off = run()
     os.environ["DIM_TPU_DECODE_KERNEL"] = "1"
+    reset_decode_kernel_mode()
     on = run()
     os.environ.pop("DIM_TPU_DECODE_KERNEL", None)
+    reset_decode_kernel_mode()
     np.testing.assert_allclose(on, off, rtol=2e-2, atol=2e-2)
 
 
