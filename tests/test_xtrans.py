@@ -135,6 +135,34 @@ def test_generate_chunked_matches_unchunked():
             np.testing.assert_array_equal(np.asarray(base), np.asarray(chunked))
 
 
+def test_generate_chunked_scan_count_is_logarithmic(monkeypatch):
+    """The geometric segment schedule must trace O(log(seq_len/chunk)) scans,
+    not seq_len/chunk (round-2 weakness: L=1024/chunk=32 compiled 32 scans)."""
+    import jax.lax as lax
+
+    from dyadic_interaction_modeling_tpu.models import xtrans as X
+
+    calls = {"n": 0}
+    real_scan = lax.scan
+
+    def counting_scan(*a, **kw):
+        calls["n"] += 1
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(X.jax.lax, "scan", counting_scan)
+    dec = _decoder(num_tokens=16, dim=32, depth=2, heads=4, max_seq_len=160)
+    ctx = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+    prompt = jnp.array([[3], [7]], dtype=jnp.int32)
+    params = dec.init(jax.random.PRNGKey(1), prompt, ctx)
+    seq_len, chunk = 128, 4
+    generate_tokens(dec, params, prompt, seq_len, ctx, None,
+                    jax.random.PRNGKey(5), chunk=chunk)
+    # schedule 4,4,8,16,32,64(,rest) -> ~log2(seq_len/chunk)+2 scans
+    bound = int(np.ceil(np.log2(seq_len / chunk))) + 2
+    assert calls["n"] <= bound, (calls["n"], bound)
+    assert calls["n"] >= 3  # actually chunked, not the single-scan shortcut
+
+
 def test_generate_context_groups_matches_tiled():
     """Best-of-N context sharing (context_groups) must be token-identical to
     physically tiling context/mask N times - alone and combined with the
