@@ -118,9 +118,17 @@ def main(argv=None):
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
         rng, sub = jax.random.split(rng)
-        batches = (_slm_batches_with_vq_tokens(train_loader, vq_cache,
-                                               state.params)
-                   if vq_cache else _slm_batches(train_loader))
+        if vq_cache:
+            # snapshot the params for lazy tokenization: the train step
+            # DONATES its state, so buffers referenced by this generator
+            # would be deleted mid-epoch (the VQs are frozen - any step's
+            # params tokenize identically)
+            tok_params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), state.params)
+            batches = _slm_batches_with_vq_tokens(train_loader, vq_cache,
+                                                  tok_params)
+        else:
+            batches = _slm_batches(train_loader)
         state, logs = train_epoch(state, batches, step, sub,
                                   epoch=epoch, logger=logger)
         rng, sub = jax.random.split(rng)

@@ -76,7 +76,16 @@ def create_train_state(
     clip_norm: float = 0.0,
     frozen_substrings: Iterable[str] = (),
 ) -> TrainState:
+    import jax.numpy as jnp
+
     p = params["params"] if "params" in params else params
+    # Own the buffers: train steps DONATE their state (pt_engine), which
+    # requires every leaf to be a distinct buffer this state exclusively
+    # holds. Grafted/partial-loaded trees can alias one array in two slots
+    # (e.g. the same VQ checkpoint as speaker AND listener tokenizer), and
+    # two states built from the same init tree would share buffers - either
+    # way donation would delete a buffer someone else still references.
+    p = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), p)
     mask = frozen_mask(p, frozen_substrings) if frozen_substrings else None
     tx = make_optimizer(learning_rate, weight_decay, clip_norm, mask)
     return TrainState.create(apply_fn=model.apply, params=p, tx=tx)

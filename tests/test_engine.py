@@ -271,8 +271,12 @@ def test_vq_token_cache_matches_forward_vq_across_compositions():
     batch = tuple(jnp.asarray(x) for x in slm_batch_from_collated(col))
     tokens = cache(params, batch, col[5])
     r = jax.random.PRNGKey(9)
+    # steps DONATE their state (no-op on CPU, real on TPU) - use a fresh
+    # state per call rather than reusing a donated one
+    state2 = create_train_state(model, {"params": params}, 1e-4,
+                                frozen_substrings=SLM_FROZEN_SUBSTRINGS)
     _, logs_tok = step_tok(state, batch + tokens, r)
-    _, logs_inline = step_inline(state, batch, r)
+    _, logs_inline = step_inline(state2, batch, r)
     for k in logs_inline:
         np.testing.assert_allclose(float(logs_tok[k]), float(logs_inline[k]),
                                    rtol=1e-6, atol=1e-6)

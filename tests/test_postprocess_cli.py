@@ -107,9 +107,10 @@ def test_cli_train_s2s_pretrain_synthetic_smoke(tmp_path):
     from dyadic_interaction_modeling_tpu.cli import train_s2s_pretrain
 
     save = str(tmp_path / "slm")
+    # --vq-token-cache also covers the donation-safe tokenization snapshot
     state, keeper = train_s2s_pretrain.main([
-        "--synthetic", "--batch-size", "8", "--epochs", "1",
-        "--save-path", save,
+        "--synthetic", "--batch-size", "8", "--epochs", "2",
+        "--vq-token-cache", "--save-path", save,
         "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
         "dec_heads", "2", "num_tokens", "24",
     ])
