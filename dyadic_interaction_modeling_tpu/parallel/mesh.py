@@ -27,15 +27,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
-    """Multi-host init (call once per host before device use).
+    """Multi-host init (call once per host BEFORE any device use).
 
-    Replaces ``dist.init_process_group`` (train_vq.py:61). On TPU pods all
-    arguments are discovered automatically; they exist for CPU/GPU testing.
+    Replaces ``dist.init_process_group`` (train_vq.py:61). On TPU pods the
+    runtime self-coordinates (no arguments needed); explicit arguments are
+    for CPU/GPU process groups - exercised by
+    tests/test_distributed_multiprocess.py (2-process Gloo psum).
+
+    NOTE: must not query ``jax.process_count()`` before initializing - that
+    would initialize the local backend first and make
+    ``jax.distributed.initialize`` fail.
     """
-    if jax.process_count() > 1:
-        return  # already initialised by the runtime
-    if coordinator_address is not None:
+    if coordinator_address is None:
+        return  # single host, or a TPU pod runtime that self-initializes
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized
+    except ImportError:  # private module moved; fall through to try/except
+        pass
+    try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except RuntimeError as e:
+        if "already" not in str(e):
+            raise
 
 
 def is_master() -> bool:

@@ -22,6 +22,47 @@ Array = jax.Array
 LPIPS_LAYERS = ("relu_1_2", "relu_2_2", "relu_3_4", "relu_4_4", "relu_5_4")
 
 
+def lpips_lin_to_weights(state_dict, layers: Sequence[str] = LPIPS_LAYERS
+                         ) -> Dict[str, Array]:
+    """Import the lpips package's learned per-layer linear weights.
+
+    The lpips checkpoint stores one 1x1 conv per tap as
+    ``lin{i}.model.1.weight`` with shape (1, C, 1, 1) (also accepted:
+    ``lins.{i}.model.1.weight``, the ModuleList spelling). Returns
+    ``{layer_name: (C,)}`` for ``PerceptualDistance(lin_weights=...)``,
+    making the distance exactly LPIPS. Strict key accounting like the
+    HuBERT importer: every lin weight must be consumed, every layer covered.
+    Reference consumer: ``Pirender/trainers/base.py:472-485``.
+    """
+    import numpy as np
+
+    found: Dict[int, Array] = {}
+    leftover = []
+    for k, v in state_dict.items():
+        parts = k.split(".")
+        if (len(parts) == 4 and parts[0].startswith("lin")
+                and parts[1] == "model" and parts[2] == "1"
+                and parts[3] == "weight"):
+            idx = int(parts[0][3:])
+        elif (len(parts) == 5 and parts[0] == "lins"
+              and parts[2] == "model" and parts[3] == "1"
+              and parts[4] == "weight"):
+            idx = int(parts[1])
+        else:
+            leftover.append(k)
+            continue
+        arr = np.array(getattr(v, "detach", lambda: v)().cpu().numpy()
+                       if hasattr(v, "detach") else v)
+        if arr.ndim != 4 or arr.shape[0] != 1 or arr.shape[2:] != (1, 1):
+            raise ValueError(f"{k}: expected (1, C, 1, 1), got {arr.shape}")
+        found[idx] = jnp.asarray(arr.reshape(-1))
+    if leftover:
+        raise KeyError(f"unrecognized lpips keys: {sorted(leftover)[:8]}")
+    if sorted(found) != list(range(len(layers))):
+        raise KeyError(f"expected lin0..lin{len(layers) - 1}, got {sorted(found)}")
+    return {name: found[i] for i, name in enumerate(layers)}
+
+
 class PerceptualDistance:
     """LPIPS-style distance between image batches in [-1, 1] (NHWC)."""
 

@@ -466,3 +466,134 @@ def test_slmft_train_lockstep():
         if "listener_vq" in name or "speaker_vq" in name:
             np.testing.assert_array_equal(np.asarray(flat_ours[path]),
                                           np.asarray(leaf))
+
+
+# ---------------------------------------------------------------------------
+# 4. render FaceTrainer lockstep: two-stage Adam(0.5, 0.999) + EMA + weights
+# ---------------------------------------------------------------------------
+
+
+class _FlaxTinyGen(__import__("flax").linen.Module):
+    """Minimal generator with the FaceTrainer model contract: returns
+    warp_image always, fake_image in the gen stage. Simple enough that a
+    torch twin is exactly mirrorable."""
+
+    @__import__("flax").linen.compact
+    def __call__(self, input_image, input_semantic, stage):
+        import flax.linen as fnn
+
+        h = fnn.Conv(3, (3, 3), padding="SAME", name="conv1")(input_image)
+        s = fnn.Dense(3, name="sem")(jnp.mean(input_semantic, axis=2))
+        warp = jnp.tanh(h + s[:, None, None, :])
+        out = {"warp_image": warp}
+        if stage != "warp":
+            out["fake_image"] = jnp.tanh(
+                fnn.Conv(3, (3, 3), padding="SAME", name="conv2")(warp))
+        return out
+
+
+class _TorchTinyGen(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 3, 3, padding=1)
+        self.sem = nn.Linear(8, 3)
+        self.conv2 = nn.Conv2d(3, 3, 3, padding=1)
+
+    def forward(self, input_image, input_semantic, stage):
+        # NCHW; semantics (B, C, T) mean over T like the flax twin
+        h = self.conv1(input_image)
+        s = self.sem(input_semantic.mean(dim=2))
+        warp = torch.tanh(h + s[:, :, None, None])
+        out = {"warp_image": warp}
+        if stage != "warp":
+            out["fake_image"] = torch.tanh(self.conv2(warp))
+        return out
+
+
+def test_render_trainer_two_stage_lockstep(tmp_path):
+    """FaceTrainer dynamics vs the reference math (face_trainer.py:54-100):
+    symmetric batch assembly, l1 'perceptual' losses weighted 2.5 (warp) /
+    4.0 (final), Adam(lr=1e-4, betas=(0.5, 0.999)), optimizer RESET at the
+    stage switch (reset_trainer), EMA accumulate 0.5**(32/10000) - 3 warp +
+    3 gen steps in lockstep with a torch twin."""
+    from dyadic_interaction_modeling_tpu.render.trainer import EMA_DECAY, FaceTrainer
+
+    torch.manual_seed(0)
+    twin = _TorchTinyGen()
+    # copy torch init -> flax params
+    params = {
+        "conv1": {"kernel": jnp.asarray(
+            twin.conv1.weight.detach().numpy().transpose(2, 3, 1, 0).copy()),
+            "bias": jnp.asarray(twin.conv1.bias.detach().numpy().copy())},
+        "conv2": {"kernel": jnp.asarray(
+            twin.conv2.weight.detach().numpy().transpose(2, 3, 1, 0).copy()),
+            "bias": jnp.asarray(twin.conv2.bias.detach().numpy().copy())},
+        "sem": {"kernel": jnp.asarray(twin.sem.weight.detach().numpy().T.copy()),
+                "bias": jnp.asarray(twin.sem.bias.detach().numpy().copy())},
+    }
+    k1 = 3
+    trainer = FaceTrainer(_FlaxTinyGen(), {"params": params},
+                          pretrain_warp_iteration=k1,
+                          perceptual_network="l1", save_dir=str(tmp_path))
+
+    rng = np.random.RandomState(0)
+    batches = [{
+        "source_image": rng.randn(2, 8, 8, 3).astype(np.float32),
+        "target_image": rng.randn(2, 8, 8, 3).astype(np.float32),
+        "source_semantics": rng.randn(2, 8, 5).astype(np.float32),
+        "target_semantics": rng.randn(2, 8, 5).astype(np.float32),
+    } for _ in range(6)]
+
+    # torch twin loop (face_trainer.optimize_parameters + accumulate)
+    import copy
+
+    ema_twin = copy.deepcopy(twin)
+    opt = torch.optim.Adam(twin.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    accum = 0.5 ** (32 / (10 * 1000))
+    assert abs(accum - EMA_DECAY) < 1e-12
+    losses_t = []
+    for it, data in enumerate(batches):
+        stage = "gen" if it >= k1 else "warp"
+        if it == k1:
+            opt = torch.optim.Adam(twin.parameters(), lr=1e-4,
+                                   betas=(0.5, 0.999))  # reset_trainer
+        src = torch.from_numpy(data["source_image"].transpose(0, 3, 1, 2))
+        tgt = torch.from_numpy(data["target_image"].transpose(0, 3, 1, 2))
+        ssem = torch.from_numpy(data["source_semantics"])
+        tsem = torch.from_numpy(data["target_semantics"])
+        input_image = torch.cat([src, tgt], 0)
+        input_semantic = torch.cat([tsem, ssem], 0)
+        gt = torch.cat([tgt, src], 0)
+        out = twin(input_image, input_semantic, stage)
+        loss = 2.5 * torch.mean(torch.abs(out["warp_image"] - gt))
+        if stage != "warp":
+            loss = loss + 4.0 * torch.mean(torch.abs(out["fake_image"] - gt))
+        twin.zero_grad()
+        loss.backward()
+        opt.step()
+        with torch.no_grad():
+            for pe, p in zip(ema_twin.parameters(), twin.parameters()):
+                pe.mul_(accum).add_(p, alpha=1 - accum)
+        losses_t.append(float(loss))
+
+    losses_j = []
+    for data in batches:
+        losses_j.append(trainer.optimize_parameters(
+            {k: jnp.asarray(v) for k, v in data.items()})["total_loss"])
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-4, atol=1e-6)
+
+    def check(flax_node, tconv, name, transpose):
+        np.testing.assert_allclose(
+            np.asarray(flax_node["kernel"]),
+            tconv.weight.detach().numpy().transpose(*transpose),
+            rtol=1e-4, atol=1e-6, err_msg=name)
+
+    for params_side, twin_side, tag in ((trainer.params, twin, "params"),
+                                        (trainer.ema_params, ema_twin, "ema")):
+        check(params_side["conv1"], twin_side.conv1, f"{tag}/conv1", (2, 3, 1, 0))
+        check(params_side["conv2"], twin_side.conv2, f"{tag}/conv2", (2, 3, 1, 0))
+        np.testing.assert_allclose(
+            np.asarray(params_side["sem"]["kernel"]),
+            twin_side.sem.weight.detach().numpy().T, rtol=1e-4, atol=1e-6,
+            err_msg=f"{tag}/sem")
