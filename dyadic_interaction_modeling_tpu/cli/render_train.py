@@ -56,7 +56,9 @@ def main(argv=None):
                         help="torchvision vgg19 state_dict (.pth); without it "
                              "the perceptual loss uses random VGG features")
     parser.add_argument("--perceptual", type=str, default="vgg19",
-                        choices=["vgg19", "l1"])
+                        choices=["vgg19", "vgg16", "alexnet", "resnet50", "l1"],
+                        help="perceptual trunk (reference perceptual.py:203-302"
+                             "; shipped face.yaml uses vgg19)")
     parser.add_argument("--prefetch", type=int, default=0,
                         help="background-thread batch prefetch depth (0=off)")
     args = parser.parse_args(argv)

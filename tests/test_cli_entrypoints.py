@@ -99,28 +99,18 @@ def test_preprocess_voca(tmp_path):
 
 
 def test_render_train_cli(tmp_path):
-    from dyadic_interaction_modeling_tpu.cli import render_train
-
-    trainer = render_train.main([
-        "--synthetic", "--save-path", str(tmp_path), "--perceptual", "l1",
-        "--steps-per-epoch", "3", "--snapshot-iter", "2",
-        "--resolution", "32"])
-    assert trainer.iteration == 3
-    assert os.path.exists(tmp_path / "latest_checkpoint.txt")
-    assert list((tmp_path / "logs" / "images").glob("*.png"))
-
-
-def test_render_train_cli_multi_epoch_with_prefetch(tmp_path):
-    """max_epochs > 1 must run steps in EVERY epoch (regression: a single-use
-    batches generator - bare or prefetch-wrapped - was exhausted after epoch
-    0 and later epochs silently ran zero steps)."""
+    """One run covers the CLI surface AND the multi-epoch regression: a
+    single-use batches generator (bare or prefetch-wrapped) was exhausted
+    after epoch 0 and later epochs silently ran zero steps."""
     from dyadic_interaction_modeling_tpu.cli import render_train
 
     trainer = render_train.main([
         "--synthetic", "--save-path", str(tmp_path), "--perceptual", "l1",
         "--steps-per-epoch", "2", "--max-epochs", "3", "--prefetch", "2",
-        "--snapshot-iter", "100", "--resolution", "32"])
+        "--snapshot-iter", "2", "--resolution", "32"])
     assert trainer.iteration == 6, trainer.iteration
+    assert os.path.exists(tmp_path / "latest_checkpoint.txt")
+    assert list((tmp_path / "logs" / "images").glob("*.png"))
 
 
 def test_render_inference_cli(tmp_path):

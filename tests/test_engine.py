@@ -219,6 +219,7 @@ def test_evaluate_test_epoch_end_to_end():
         assert np.isfinite(yp).all()
 
 
+@pytest.mark.slow
 def test_vq_token_cache_matches_forward_vq_across_compositions():
     """Cache-assembled (z_s, z_l) must be identical to forward_vq for ANY
     batch composition: clips tokenized in one grouping on epoch 1 are
@@ -237,12 +238,15 @@ def test_vq_token_cache_matches_forward_vq_across_compositions():
     params = model.init(jax.random.PRNGKey(0), *b0, rng)["params"]
 
     cache = VQTokenCache(model)
+    # jitted reference tokenizer (eager apply of the 2x6-layer VQ encoders
+    # per batch made this the suite's hottest test)
+    ref_fn = jax.jit(lambda p, a, b, m: model.apply(
+        {"params": p}, a, b, m, method="forward_vq"))
     # epoch 1: populate (compute path)
     for col in collated:
         batch = slm_batch_from_collated(col)
         z = cache(params, batch, col[5])
-        ref = model.apply({"params": params}, batch[0], batch[1], batch[3],
-                          method="forward_vq")
+        ref = ref_fn(params, batch[0], batch[1], batch[3])
         np.testing.assert_array_equal(np.asarray(z[0]), np.asarray(ref[0]))
         np.testing.assert_array_equal(np.asarray(z[1]), np.asarray(ref[1]))
     # epoch 2: different composition - assembled from the cache
@@ -252,8 +256,7 @@ def test_vq_token_cache_matches_forward_vq_across_compositions():
         batch = slm_batch_from_collated(col)
         assert all(n in cache._store for n in col[5])
         z = cache(params, batch, col[5])
-        ref = model.apply({"params": params}, batch[0], batch[1], batch[3],
-                          method="forward_vq")
+        ref = ref_fn(params, batch[0], batch[1], batch[3])
         np.testing.assert_array_equal(np.asarray(z[0]), np.asarray(ref[0]))
         np.testing.assert_array_equal(np.asarray(z[1]), np.asarray(ref[1]))
 

@@ -14,6 +14,7 @@ construction. These tests pin the contract:
 
 import os
 import subprocess
+import pytest
 import sys
 
 import conftest
@@ -62,6 +63,7 @@ def test_driver_multichip_invocation_from_clean_shell():
             + "\n".join(l for l in proc.stdout.splitlines() if bad in l)[:2000])
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inproc_on_existing_mesh():
     import jax
 

@@ -103,6 +103,7 @@ def test_cli_train_vq_synthetic_smoke(tmp_path):
         "val/rec_loss", "val/quant_loss", "val/perplexity"])
 
 
+@pytest.mark.slow
 def test_cli_train_s2s_pretrain_synthetic_smoke(tmp_path):
     from dyadic_interaction_modeling_tpu.cli import train_s2s_pretrain
 

@@ -131,6 +131,7 @@ def test_semantic_window_clamping():
     np.testing.assert_allclose(w2[0], [7, 8, 9, 9, 9])
 
 
+@pytest.mark.slow
 def test_face_trainer_two_stage_smoke():
     model = FaceGenerator(flame_coeff_nc=58, coeff_nc=73, descriptor_nc=32,
                           mapping_layers=2)
@@ -193,6 +194,7 @@ def test_perceptual_distance_lpips_style():
     assert (daa < 1e-6).all() and (dab > daa).all()
 
 
+@pytest.mark.slow
 def test_use_spect_forward_and_grad():
     """use_spect=True (base_function.py:151-156 spectral_norm on every
     ADAIN/Fine block conv): forward + one grad step with the power-iteration
@@ -279,6 +281,7 @@ def test_vgg19_importer_torchvision_layout():
     assert set(params["params"].keys()) == {f"conv_{i}" for i in range(16)}
 
 
+@pytest.mark.slow
 def test_trainer_with_vgg_dict_writes_grids_and_scalars(tmp_path):
     """Trainer runs with a real-format (torchvision-layout) VGG state_dict
     and writes per-snapshot image grids + scalar logs (meters.py:103)."""
@@ -374,3 +377,174 @@ def test_lpips_lin_weights_importer():
     du, dl = np.asarray(dist_uniform(a, b)), np.asarray(dist_lpips(a, b))
     assert du.shape == dl.shape == (2,)
     assert np.isfinite(dl).all() and not np.allclose(du, dl)
+
+
+def test_vgg16_and_alexnet_importer_parity():
+    """torch_vgg16_to_flax / torch_alexnet_to_flax vs plain-torch trunks built
+    with torchvision's exact feature indices (reference perceptual.py:222-252)."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        AlexNetFeatures,
+        VGG16Features,
+        torch_alexnet_to_flax,
+        torch_vgg16_to_flax,
+    )
+
+    torch.manual_seed(0)
+    # --- vgg16 ---
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    mods, in_ch = [], 3
+    for v in cfg:
+        if v == "M":
+            mods.append(tnn.MaxPool2d(2, 2))
+        else:
+            mods.append(tnn.Conv2d(in_ch, v, 3, padding=1))
+            mods.append(tnn.ReLU())
+            in_ch = v
+    tv16 = tnn.Sequential(*mods).eval()
+    sd16 = {f"features.{k}": v for k, v in tv16.state_dict().items()}
+    layers = ("relu_1_2", "relu_2_2", "relu_3_3", "relu_5_1")
+    model = VGG16Features(layers)
+    params = torch_vgg16_to_flax(sd16)
+    x = np.random.RandomState(1).randn(2, 32, 32, 3).astype(np.float32)
+    feats = model.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        tv_taps = {3: "relu_1_2", 8: "relu_2_2", 15: "relu_3_3", 25: "relu_5_1"}
+        got = {}
+        for i, m in enumerate(tv16):
+            h = m(h)
+            if i in tv_taps:
+                got[tv_taps[i]] = h.numpy().transpose(0, 2, 3, 1)
+    for name in layers:
+        np.testing.assert_allclose(np.asarray(feats[name]), got[name],
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+    # --- alexnet ---
+    alex = tnn.Sequential(
+        tnn.Conv2d(3, 64, 11, 4, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(64, 192, 5, 1, 2), tnn.ReLU(), tnn.MaxPool2d(3, 2),
+        tnn.Conv2d(192, 384, 3, 1, 1), tnn.ReLU(),
+        tnn.Conv2d(384, 256, 3, 1, 1), tnn.ReLU(),
+        tnn.Conv2d(256, 256, 3, 1, 1), tnn.ReLU(), tnn.MaxPool2d(3, 2)).eval()
+    sda = {f"features.{k}": v for k, v in alex.state_dict().items()}
+    alayers = ("conv_1", "relu_2", "relu_5")
+    amodel = AlexNetFeatures(alayers)
+    aparams = torch_alexnet_to_flax(sda)
+    xa = np.random.RandomState(2).randn(2, 64, 64, 3).astype(np.float32)
+    afeats = amodel.apply(aparams, jnp.asarray(xa))
+    with torch.no_grad():
+        h = torch.from_numpy(xa.transpose(0, 3, 1, 2))
+        tv_taps = {0: "conv_1", 4: "relu_2", 11: "relu_5"}
+        got = {}
+        for i, m in enumerate(alex):
+            h = m(h)
+            if i in tv_taps:
+                got[tv_taps[i]] = h.numpy().transpose(0, 2, 3, 1)
+    for name in alayers:
+        np.testing.assert_allclose(np.asarray(afeats[name]), got[name],
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_resnet50_importer_parity():
+    """torch_resnet50_to_flax (eval-mode BN folded to scale/bias) vs a
+    plain-torch bottleneck ResNet50 with torchvision state_dict naming and
+    RANDOM running stats - validates the folding math against torch's real
+    BatchNorm2d (reference perceptual.py:285-302)."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        ResNet50Features,
+        torch_resnet50_to_flax,
+    )
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, width, stride, down):
+            super().__init__()
+            cout = width * 4
+            self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(width)
+            self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(width)
+            self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(cout)
+            self.relu = tnn.ReLU()
+            self.downsample = None
+            if down:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            h = self.relu(self.bn1(self.conv1(x)))
+            h = self.relu(self.bn2(self.conv2(h)))
+            h = self.bn3(self.conv3(h))
+            return self.relu(h + idt)
+
+    class TorchResNet50(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            cin = 64
+            for si, (blocks, width) in enumerate([(3, 64), (4, 128),
+                                                  (6, 256), (3, 512)]):
+                layer = []
+                for bi in range(blocks):
+                    stride = (1 if si == 0 else 2) if bi == 0 else 1
+                    layer.append(Bottleneck(cin, width, stride, bi == 0))
+                    cin = width * 4
+                setattr(self, f"layer{si + 1}", tnn.Sequential(*layer))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            outs = {}
+            for i in (1, 2, 3, 4):
+                x = getattr(self, f"layer{i}")(x)
+                outs[f"layer_{i}"] = x
+            return outs
+
+    torch.manual_seed(0)
+    ref = TorchResNet50()
+    # random running stats so folding is actually exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    layers = ("layer_1", "layer_2", "layer_4")
+    model = ResNet50Features(layers)
+    params = torch_resnet50_to_flax(ref.state_dict())
+    x = np.random.RandomState(3).randn(1, 64, 64, 3).astype(np.float32)
+    feats = model.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        got = {k: v.numpy().transpose(0, 2, 3, 1)
+               for k, v in ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).items()}
+    for name in layers:
+        np.testing.assert_allclose(np.asarray(feats[name]), got[name],
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_perceptual_loss_network_variants_run():
+    """PerceptualLoss accepts every reference network= option we rebuild."""
+    from dyadic_interaction_modeling_tpu.render.perceptual import PerceptualLoss
+
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+    b = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 2 - 1)
+    for net in ("vgg16", "alexnet", "resnet50", "l1"):
+        loss = PerceptualLoss(network=net, num_scales=1)(a, b)
+        assert np.isfinite(float(loss)), net
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PerceptualLoss(network="inception_v3")

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,7 @@ from dyadic_interaction_modeling_tpu.engine.train_state import create_train_stat
 from dyadic_interaction_modeling_tpu.models.listener_generator import ListenerGenerator
 
 
+@pytest.mark.slow
 def test_lg_train_and_eval_with_perplexity():
     cfg = C.listener_generator_defaults()
     cfg.update(dict(dim=32, enc_depth=1, enc_heads=2, enc_max_seq_len=64,
