@@ -32,6 +32,50 @@ def _batches(loader):
                jnp.asarray(sp), jnp.asarray(li))
 
 
+def _main_continuous(args, cfg, logger):
+    """Continuous-decoder branch (reference train_s2s.py:97 +
+    x_engine.train_continuous_epoch; best val loss 0.54554 noted at
+    train_s2s.py:289)."""
+    from ..engine.s2s_engine import (
+        evaluate_continuous_epoch,
+        make_continuous_train_step,
+        train_continuous_epoch,
+    )
+    from ..models.listener_generator import ContinuousSeq2Seq
+
+    model = ContinuousSeq2Seq(cfg)
+    train_loader, val_loader = make_loaders(args, args.batch_size)
+
+    def cbatches(loader):
+        for b in _batches(loader):
+            yield b[0], b[1], b[2]
+
+    src, tgt, mask = next(cbatches(train_loader))
+    params = model.init(jax.random.PRNGKey(0), src, tgt, mask)["params"]
+    state = create_train_state(model, params, args.lr,
+                               weight_decay=args.weight_decay,
+                               clip_norm=args.clip_norm)
+    step = make_continuous_train_step(model)
+    save_dir = args.save_path or "./runs_s2s_cont/model"
+    keeper = BestCheckpointKeeper(save_dir)
+    from ..utils.observability import MetricsWriter
+
+    writer = MetricsWriter(save_dir, hparams=cfg)
+    for epoch in range(cfg.get_or("epochs", 10)):
+        train_loader.set_epoch(epoch)
+        state, train_loss = train_continuous_epoch(
+            state, cbatches(train_loader), step, epoch=epoch, logger=logger)
+        val = evaluate_continuous_epoch(state.params, model,
+                                        cbatches(val_loader))
+        logger.info(f"Epoch {epoch}: val MSE {val:.5f}")
+        writer.add_scalar("val/loss", val, epoch + 1)
+        writer.add_scalar("learning_rate", args.lr, epoch + 1)
+        if keeper.update(val, state.params, epoch):
+            logger.info(f"Epoch {epoch}: new best {val:.5f}")
+    writer.close()
+    return state, keeper
+
+
 def main(argv=None):
     parser = get_parser("ListenerGenerator training")
     parser.add_argument("--batch-size", type=int, default=4)
@@ -42,9 +86,16 @@ def main(argv=None):
     parser.add_argument("--clip-norm", type=float, default=0.0)
     parser.add_argument("--use-ids", action="store_true",
                         help="condition on speaker/listener identity embeddings")
+    parser.add_argument("--continuous", action="store_true",
+                        help="train the continuous (MSE AR) seq2seq instead "
+                             "of the token generator - the reference keeps "
+                             "this branch dormant (train_s2s.py:97, "
+                             "x_engine.py:38-62)")
     args = parser.parse_args(argv)
     logger = setup(args)
     cfg = load_config(args, listener_generator_defaults)
+    if args.continuous:
+        return _main_continuous(args, cfg, logger)
     vq_cfg = vq_listener_defaults()
     vq_cfg.n_embed = cfg.dec_num_tokens  # decoder predicts listener VQ codes
     if args.synthetic and cfg.dim < 128:

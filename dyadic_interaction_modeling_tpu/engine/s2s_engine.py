@@ -48,6 +48,45 @@ def train_epoch(state, loader: Iterable, step: Callable, epoch: int = 0,
     return state, (float(loss) if loss is not None else None)
 
 
+def make_continuous_train_step(model) -> Callable:
+    """Jitted train step for ContinuousSeq2Seq batches (src, tgt, mask)
+    (x_engine.train_continuous_epoch :38-62; the model returns the masked
+    MSE AR loss directly)."""
+
+    def loss_fn(params, src, tgt, mask):
+        return model.apply({"params": params}, src, tgt, mask)
+
+    @jax.jit
+    def step(state, src, tgt, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, src, tgt, mask)
+        return state.apply_gradients(grads=grads), loss
+
+    return step
+
+
+def train_continuous_epoch(state, loader: Iterable, step: Callable,
+                           epoch: int = 0, print_freq: int = 100, logger=None):
+    """x_engine.train_continuous_epoch loop shape (:38-62): batches are
+    (src, tgt, mask) with the boolean mask prebuilt from src_len."""
+    logger = logger or get_logger()
+    losses = []
+    for i, (src, tgt, mask) in enumerate(loader):
+        state, loss = step(state, src, tgt, mask)
+        losses.append(loss)
+        if (i + 1) % print_freq == 0:
+            logger.info(f"Epoch {epoch} batch {i + 1}: "
+                        f"loss {float(np.mean([float(x) for x in losses])):.4f}")
+            losses = []
+    return state, (float(losses[-1]) if losses else None)
+
+
+def evaluate_continuous_epoch(params, model, loader: Iterable) -> float:
+    """Mean validation MSE (x_engine.evaluate_continuous_epoch :89-105)."""
+    fwd = jax.jit(lambda p, s, t, m: model.apply({"params": p}, s, t, m))
+    losses = [float(fwd(params, src, tgt, mask)) for src, tgt, mask in loader]
+    return float(np.mean(losses)) if losses else float("nan")
+
+
 def evaluate_epoch(params, model, loader: Iterable, use_ids: bool = False
                    ) -> Dict[str, float]:
     """Validation loss + token perplexity (x_engine.evaluate_epoch :64-88).

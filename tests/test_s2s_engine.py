@@ -38,3 +38,47 @@ def test_lg_train_and_eval_with_perplexity():
     out = evaluate_epoch(state.params, model, batches)
     assert np.isfinite(out["loss"])
     assert out["perplexity"] > 1.0  # untrained: near-uniform over 24 tokens
+
+
+def test_continuous_engine_trains_and_evaluates():
+    """train_continuous_epoch / evaluate_continuous_epoch twins
+    (x_engine.py:38-62, 89-105 - the reference's dormant continuous branch)."""
+    from dyadic_interaction_modeling_tpu.engine.s2s_engine import (
+        evaluate_continuous_epoch,
+        make_continuous_train_step,
+        train_continuous_epoch,
+    )
+    from dyadic_interaction_modeling_tpu.models.listener_generator import (
+        ContinuousSeq2Seq,
+    )
+
+    cfg = C.listener_generator_defaults()
+    cfg.update(dict(dim=32, enc_depth=1, enc_heads=2, dec_depth=1,
+                    dec_heads=2, enc_max_seq_len=64))
+    model = ContinuousSeq2Seq(cfg)
+    rng = np.random.RandomState(0)
+    src = jnp.asarray(rng.randn(2, 16, 56).astype(np.float32))
+    tgt = jnp.asarray(np.cumsum(rng.randn(2, 16, 56), axis=1).astype(np.float32) * 0.1)
+    mask = jnp.ones((2, 16), dtype=bool).at[1, 12:].set(False)
+    params = model.init(jax.random.PRNGKey(0), src, tgt, mask)["params"]
+    state = create_train_state(model, {"params": params}, 1e-3)
+    step = make_continuous_train_step(model)
+
+    first = evaluate_continuous_epoch(state.params, model, [(src, tgt, mask)])
+    for _ in range(3):
+        state, _ = train_continuous_epoch(
+            state, [(src, tgt, mask)] * 10, step, print_freq=1000)
+    last = evaluate_continuous_epoch(state.params, model, [(src, tgt, mask)])
+    assert last < first * 0.7, (first, last)
+
+
+def test_train_s2s_cli_continuous_branch(tmp_path):
+    from dyadic_interaction_modeling_tpu.cli import train_s2s
+
+    state, keeper = train_s2s.main([
+        "--synthetic", "--batch-size", "4", "--epochs", "2",
+        "--continuous", "--save-path", str(tmp_path / "cont"),
+        "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
+        "dec_heads", "2", "dec_num_tokens", "24",
+    ])
+    assert keeper.best is not None and np.isfinite(keeper.best)
