@@ -298,10 +298,21 @@ def decode_hbm_traffic_bytes(params, slm_cfg, b0, n, l, chunk,
         params["decoder_joint"])) * bytes_per
     per_tok_row = slm_cfg.dec_heads * 64 * 2 * slm_cfg.dec_depth * bytes_per
     p = 1  # prompt length
-    self_reads = 0
-    for i in range(l - 1):  # generation step i reads its segment's cache slice
-        cache_len = min(l, -(-(p + i + 1) // chunk) * chunk) if chunk else l
-        self_reads += b0 * n * cache_len * per_tok_row
+    # per-step cache slice under the GEOMETRIC segment schedule
+    # (models/xtrans.generate_tokens: chunk, chunk, 2*chunk, ...)
+    step_cache_len = []
+    if chunk:
+        start, size = 0, chunk
+        while start < l - 1:
+            s = min(size, l - 1 - start)
+            cache_len = min(l, -(-(p + start + s) // chunk) * chunk)
+            step_cache_len += [cache_len] * s
+            if start > 0:
+                size *= 2
+            start += s
+    else:
+        step_cache_len = [l] * (l - 1)
+    self_reads = b0 * n * per_tok_row * sum(step_cache_len)
     cross_reads = b0 * l * per_tok_row * (l - 1)  # shared: read per clip
     weight_reads = wbytes * (l - 1)
     return self_reads + cross_reads + weight_reads

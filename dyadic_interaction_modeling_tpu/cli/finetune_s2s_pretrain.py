@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax
 
-from ..config import slm_defaults, vq_listener_defaults
+from ..config import slm_defaults
 from ..data.datasets import ViCoDataset
 from ..data.loader import PaddedBatchLoader, slm_batch_from_collated
 from ..data.synthetic import synthetic_vico_dataset

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..config import listener_generator_defaults, vq_listener_defaults
 from ..engine.train_state import create_train_state
-from ..metrics.eval_utils import perplexity_from_logits
+
 from ..models.listener_generator import ListenerGenerator
 from ..utils.checkpoint import BestCheckpointKeeper
 from .common import get_parser, load_config, setup

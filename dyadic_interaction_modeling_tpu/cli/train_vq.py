@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import vq_listener_defaults, vq_speaker_defaults
+from ..config import vq_listener_defaults
 from ..data.loader import PaddedBatchLoader
 from ..data.synthetic import synthetic_vico_dataset
 from ..engine.train_state import create_train_state
@@ -27,7 +27,7 @@ def _motion_collate(batch, min_bucket=32, max_len=1024):
     """Single-stream motion clips -> dense (B, L, C) batch; VQ training pads
     by repeating the last frame (lengths are not used by the reference's VQ
     loss, which trains on full dense clips at batch size 1)."""
-    from ..data.loader import bucket_length, pad_to
+    from ..data.loader import bucket_length
 
     xs = [b[0] for b in batch]
     L = bucket_length(max(len(x) for x in xs), min_bucket, max_len)
