@@ -597,3 +597,242 @@ def test_render_trainer_two_stage_lockstep(tmp_path):
             np.asarray(params_side["sem"]["kernel"]),
             twin_side.sem.weight.detach().numpy().T, rtol=1e-4, atol=1e-6,
             err_msg=f"{tag}/sem")
+
+
+# ---------------------------------------------------------------------------
+# 5. SLM pretrain lockstep: the flagship dyadic objective (CE x2 + continuous
+#    x2 + InfoNCE) with frozen VQ encoders/quantizers but TRAINABLE decoders
+# ---------------------------------------------------------------------------
+
+
+class _TorchSLM(nn.Module):
+    """Deterministic torch twin of the SLM pretrain forward
+    (seq2seq_pretrain.py:72-323) at mask_ratio=1.0 - every valid position is
+    masked, so the random masking has exactly one outcome and the forward is
+    RNG-free on both frameworks."""
+
+    def __init__(self, vq_s, vq_l):
+        super().__init__()
+        self.speaker_vq, self.listener_vq = vq_s, vq_l
+        # SLM freezes VQ encoders+quantizers; DECODERS train (:98-113)
+        for vq in (vq_s, vq_l):
+            for p in list(vq.encoder.parameters()) + list(vq.quantize.parameters()):
+                p.requires_grad = False
+        self.encoder_s = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.encoder_l = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.encoder_joint = XTContinuousTransformerWrapper(DIM, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.decoder_joint = XTAutoregressiveWrapper(XTTransformerWrapper(
+            NTOK, DIM + DIM_A, DEPTH, HEADS, MAXLEN, use_abs_pos_emb=True))
+        self.norm_s = nn.LayerNorm(DIM)
+        self.norm_l = nn.LayerNorm(DIM)
+        self.norm = nn.LayerNorm(DIM)
+        self.patch_embed_s = nn.Parameter(torch.randn(1, 1, 56) * 0.02)
+        self.patch_embed_l = nn.Parameter(torch.randn(1, 1, 56) * 0.02)
+        self.patch_embed_dec_s = nn.Parameter(torch.randn(1, 1, DIM) * 0.02)
+        self.patch_embed_dec_l = nn.Parameter(torch.randn(1, 1, DIM) * 0.02)
+
+    def _vq_tokens(self, vq, v, mask, pad_value):
+        import torch.nn.functional as F
+
+        b, l, _ = v.shape
+        out = []
+        for i in range(b):
+            feats = vq.encode(v[i][mask[i]].unsqueeze(0))[2][2].squeeze()
+            out.append(F.pad(feats, (0, l - feats.shape[-1]), value=pad_value))
+        return torch.stack(out, dim=0)
+
+    def _vq_decode(self, vq, logits):
+        pred = torch.argmax(logits, dim=-1)
+        one_hot = torch.zeros(pred.shape[0], pred.shape[1], vq.quantize.n_e)
+        one_hot.scatter_(2, pred.unsqueeze(2), 1)
+        zq = torch.matmul(one_hot, vq.quantize.embedding.weight)
+        return vq.decode(zq.permute(0, 2, 1))
+
+    @staticmethod
+    def _cont_loss(pred, target, fmask):
+        import torch.nn.functional as F
+
+        b, l, _ = target.shape
+        target = target[:, 1:].reshape(b * (l - 1), -1)
+        pred = pred.reshape(b * (l - 1), -1)
+        m = fmask[:, 1:].reshape(-1)
+        dp = F.pairwise_distance(pred[m][:, 0:6], target[m][:, 0:6])
+        de = F.pairwise_distance(pred[m][:, 6:], target[m][:, 6:])
+        return torch.mean(de) + torch.mean(dp)
+
+    def forward(self, v_s, v_l, v_a, mask):
+        import torch.nn.functional as F
+
+        with torch.no_grad():
+            z_s = self._vq_tokens(self.speaker_vq, v_s, mask, 0)
+            z_l = self._vq_tokens(self.listener_vq, v_l, mask, -100)
+        mask_speaker = mask.clone()  # mask_ratio=1.0: all valid masked
+        mask_listener = mask.clone()
+        vs = v_s + self.patch_embed_s
+        vl = v_l + self.patch_embed_l
+        vs = vs.masked_fill(mask_speaker[:, :, None], 0.0)
+        vl = vl.masked_fill(mask_listener[:, :, None], 0.0)
+        x_s = self.encoder_s(vs, mask=mask)
+        x_l = self.encoder_l(vl, mask=mask)
+        x_joint = self.encoder_joint(torch.cat([x_s, x_l], dim=1),
+                                     mask=torch.cat([mask, mask], dim=-1))
+        x_l = self.encoder_joint(x_l, mask=mask)
+        x_s = self.encoder_joint(x_s, mask=mask)
+        x_joint, x_l, x_s = self.norm(x_joint), self.norm_l(x_l), self.norm_s(x_s)
+        # contrastive (:269-289, single-directional)
+        lens = mask.sum(dim=1)
+        s_rep = torch.stack([x_s[i, :lens[i]].mean(0) for i in range(len(lens))])
+        l_rep = torch.stack([x_l[i, :lens[i]].mean(0) for i in range(len(lens))])
+        total = torch.mm(F.normalize(s_rep, dim=-1),
+                         F.normalize(l_rep, dim=-1).t()) / 0.05
+        nce = -torch.mean(torch.diag(F.log_softmax(total, dim=0)))
+        L = v_s.shape[1]
+        x_joint_s, x_joint_l = x_joint[:, :L], x_joint[:, L:]
+        z_s = z_s.masked_fill(~mask_speaker, -100)
+        z_l = z_l.masked_fill(~mask_listener, -100)
+        ctx_s = torch.cat([x_joint_s + self.patch_embed_dec_s, v_a], dim=-1)
+        ctx_l = torch.cat([x_joint_l + self.patch_embed_dec_l, v_a], dim=-1)
+
+        def ar_ce(z, ctx):
+            inp, tgt = z[:, :-1], z[:, 1:]
+            inp = torch.where(inp >= 0, inp, torch.zeros_like(inp))
+            logits = self.decoder_joint.net(inp, context=ctx, context_mask=mask)
+            ce = F.cross_entropy(logits.reshape(-1, NTOK), tgt.reshape(-1),
+                                 ignore_index=-100)
+            return ce, logits
+
+        # cross-prediction: speaker codes attend the LISTENER stream (:234-239)
+        l_ce_s, px_s = ar_ce(z_s, ctx_l)
+        l_ce_l, px_l = ar_ce(z_l, ctx_s)
+        pred_s = self._vq_decode(self.speaker_vq, px_s)
+        pred_l = self._vq_decode(self.listener_vq, px_l)
+        l_cont_s = self._cont_loss(pred_s, v_s, mask_speaker)
+        l_cont_l = self._cont_loss(pred_l, v_l, mask_listener)
+        return l_ce_s + l_ce_l + l_cont_s + l_cont_l + nce
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_slm_pretrain_lockstep():
+    """K AdamW(wd=0.01)+clip(1.0) steps of the full SLM pretrain objective
+    track the torch twin - the train_s2s_pretrain CLI's optimizer wiring plus
+    a first full-forward parity pin for SLM (CE both directions, VQ-decoded
+    continuous losses, InfoNCE)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI
+
+    from dyadic_interaction_modeling_tpu.models.slm import (
+        SLM,
+        SLM_FROZEN_SUBSTRINGS,
+    )
+
+    cfg, vq_cfg = _tiny_cfgs()
+    cfg.mask_ratio = 1.0  # deterministic masking on both sides
+    lr, clip, steps = 2e-3, 1.0, 6
+    b, l = 2, 16
+    torch.manual_seed(11)
+    twin = _TorchSLM(stage1_BIWI.VQAutoEncoder(vq_cfg),
+                     stage1_BIWI.VQAutoEncoder(vq_cfg))
+    twin.eval()  # VQ PE dropout off; params still train
+
+    sd = dict(twin.state_dict())
+    model = SLM(cfg, vq_cfg)
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    tmpl = model.init(jax.random.PRNGKey(13),
+                      jax.random.normal(ks[0], (b, l, 56)),
+                      jax.random.normal(ks[1], (b, l, 56)),
+                      jax.random.normal(ks[2], (b, l, DIM_A)),
+                      jnp.ones((b, l), dtype=bool), jax.random.PRNGKey(14))
+    params = torch_slm_to_flax(sd, cfg, vq_cfg, variant="slmft",
+                               params_template=tmpl["params"])["params"]
+
+    @jax.jit
+    def flax_step(state, v_s, v_l, v_a, mask):
+        def loss_fn(p):
+            out = model.apply({"params": p}, v_s, v_l, v_a, mask,
+                              jax.random.PRNGKey(0))  # unused at ratio 1.0
+            return out.total_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    rng = np.random.RandomState(15)
+    mask_np = np.ones((b, l), dtype=bool)
+    mask_np[1, 12:] = False
+    batches = [(rng.randn(b, l, 56).astype(np.float32),
+                rng.randn(b, l, 56).astype(np.float32),
+                rng.randn(b, l, DIM_A).astype(np.float32)) for _ in range(3)]
+    mask_t, mask_j = torch.from_numpy(mask_np), jnp.asarray(mask_np)
+
+    opt = torch.optim.AdamW([p for p in twin.parameters() if p.requires_grad],
+                            lr=lr)  # torch default wd=0.01
+    losses_t = []
+    for k in range(steps):
+        vs, vl, va = batches[k % len(batches)]
+        opt.zero_grad()
+        loss = twin(torch.from_numpy(vs), torch.from_numpy(vl),
+                    torch.from_numpy(va), mask_t)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(twin.parameters(), clip)
+        opt.step()
+        losses_t.append(float(loss))
+
+    state = create_train_state(model, {"params": params}, lr,
+                               weight_decay=0.01, clip_norm=clip,
+                               frozen_substrings=SLM_FROZEN_SUBSTRINGS)
+
+    # per-leaf step-0 gradient RMS: leaves whose gradient sits at/near the
+    # float32 noise floor take NOISE-DETERMINED Adam updates on both
+    # frameworks and cannot lockstep. The VQ decoders are the extreme case:
+    # params feeding InstanceNorm(affine=False) have mathematically DEAD
+    # bias/mean directions (normalization subtracts them), so their grads
+    # are pure numeric noise (~1e-6). Compare only leaves with real signal
+    # (RMS > 1e-3; healthy transformer leaves sit at 1e-2..1e-1)
+    vs0, vl0, va0 = batches[0]
+
+    def loss0(p):
+        return model.apply({"params": p}, jnp.asarray(vs0), jnp.asarray(vl0),
+                           jnp.asarray(va0), mask_j,
+                           jax.random.PRNGKey(0)).total_loss
+
+    g0 = jax.grad(loss0)(state.params)
+    grad_rms = {jax.tree_util.keystr(pth): float(jnp.sqrt(jnp.mean(jnp.square(x))))
+                for pth, x in jax.tree_util.tree_leaves_with_path(g0)}
+
+    losses_j = []
+    for k in range(steps):
+        vs, vl, va = batches[k % len(batches)]
+        state, lj = flax_step(state, jnp.asarray(vs), jnp.asarray(vl),
+                              jnp.asarray(va), mask_j)
+        losses_j.append(float(lj))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=1e-5)
+
+    # every component is USED in SLM - compare all signal-bearing leaves
+    # (except the never-materialized project_out); frozen VQ enc/quantize
+    # must be exact
+    final = torch_slm_to_flax(dict(twin.state_dict()), cfg, vq_cfg,
+                              variant="slmft",
+                              params_template=tmpl["params"])["params"]
+    flat_ref = jax.tree_util.tree_leaves_with_path(final)
+    flat_ours = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    compared = 0
+    for path, leaf in flat_ref:
+        name = jax.tree_util.keystr(path)
+        ours, theirs = flat_ours[path], jnp.asarray(np.asarray(leaf))
+        if "quantize" in name or ("_vq" in name and "encoder" in name):
+            np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs),
+                                          err_msg=f"frozen moved: {name}")
+        elif "_vq" in name:
+            # trainable VQ DECODERS receive gradients exclusively through
+            # argmax-selected codebook rows: a near-tie argmax flip between
+            # frameworks swaps their entire input, so they cannot lockstep
+            # tightly - bound the drift instead
+            med = float(jnp.median(jnp.abs(ours - theirs)))
+            assert med < 5e-3, f"VQ decoder ran away: {name} ({med})"
+        elif grad_rms.get(name, 0.0) > 1e-3:
+            compared += 1
+            med = float(jnp.median(jnp.abs(ours - theirs)))
+            assert med < 1e-4, f"param diverged after {steps} steps: {name} ({med})"
+    assert compared > 60, compared  # the transformer stack is fully covered
