@@ -61,6 +61,10 @@ def main(argv=None):
                              "; shipped face.yaml uses vgg19)")
     parser.add_argument("--prefetch", type=int, default=0,
                         help="background-thread batch prefetch depth (0=off)")
+    parser.add_argument("--debug", type=int, default=0, metavar="N",
+                        help="run the test_everything debug harness for N "
+                             "iterations instead of training "
+                             "(train.py:83-87, trainers/base.py:147-166)")
     args = parser.parse_args(argv)
     logger = setup(args)
 
@@ -110,6 +114,10 @@ def main(argv=None):
             b = PrefetchLoader(b, depth=args.prefetch)
         return b
 
+    if args.debug:
+        out = trainer.test_everything(batches, iterations=args.debug)
+        logger.info(f"debug harness done at iteration {trainer.iteration}: {out}")
+        return trainer
     trainer.train(batches,
                   max_epochs=args.max_epochs,
                   snapshot_iter=args.snapshot_iter,

@@ -186,6 +186,41 @@ class FaceTrainer:
         return self.writer.add_image_grid("visualization", rows,
                                           self.iteration, nrow=n)
 
+    def test_everything(self, loader: Iterable, iterations: int = 30) -> Dict[str, float]:
+        """Debug harness (trainers/base.py:147-166 ``test_everything``):
+        run N training iterations, then exercise visualization, checkpoint
+        write, and the LPIPS-style metric in one pass. Returns the final
+        losses + metric so callers can assert everything produced finite
+        numbers.
+        """
+        from .metrics import PerceptualDistance
+
+        self.logger.info("Start testing your functions")
+        data = None
+        losses: Dict[str, float] = {}
+        it = iter(loader() if callable(loader) else loader)
+        for _ in range(iterations):
+            try:
+                data = next(it)
+            except StopIteration:
+                it = iter(loader() if callable(loader) else loader)
+                data = next(it)
+            losses = self.optimize_parameters(data)
+        assert data is not None, "empty loader"
+        self.save_image_grid(data)
+        self.save()
+        metric = PerceptualDistance()(
+            self._ema_forward(self.ema_params, data["source_image"],
+                              data["target_semantics"]).get(
+                "fake_image", data["source_image"]),
+            data["target_image"])
+        out = dict(losses)
+        out["metric/perceptual_distance"] = float(jnp.mean(metric))
+        self.writer.add_scalars(out, self.iteration)
+        self.logger.info("End debugging: " +
+                         " ".join(f"{k} {v:.4f}" for k, v in out.items()))
+        return out
+
     def train(self, loader: Iterable, max_epochs: int = 1,
               snapshot_iter: int = 625, logging_iter: int = 100) -> None:
         """Epoch loop with the reference's 2-hour launch limit

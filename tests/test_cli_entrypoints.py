@@ -158,3 +158,23 @@ def test_render_train_cli_real_data_layout(tmp_path):
         "--steps-per-epoch", "2", "--snapshot-iter", "2",
         "--logging-iter", "1"])
     assert trainer.iteration == 2
+
+
+@pytest.mark.slow
+def test_render_train_cli_debug_harness(tmp_path):
+    """--debug N: the reference's test_everything protocol
+    (trainers/base.py:147-166) - N train iterations then visualization +
+    checkpoint + metric in one pass, everything finite."""
+    from dyadic_interaction_modeling_tpu.cli import render_train
+
+    trainer = render_train.main([
+        "--synthetic", "--save-path", str(tmp_path), "--perceptual", "l1",
+        "--debug", "3", "--pretrain-warp-iteration", "2",
+        "--resolution", "32"])
+    assert trainer.iteration == 3
+    assert os.path.exists(tmp_path / "latest_checkpoint.txt")
+    assert list((tmp_path / "logs" / "images").glob("*.png"))
+    import json
+
+    tags = {json.loads(l)["tag"] for l in open(tmp_path / "logs" / "scalars.jsonl")}
+    assert "metric/perceptual_distance" in tags
