@@ -65,6 +65,9 @@ def main(argv=None):
                         help="run the test_everything debug harness for N "
                              "iterations instead of training "
                              "(train.py:83-87, trainers/base.py:147-166)")
+    parser.add_argument("--speed-benchmark", action="store_true",
+                        help="log per-iteration data/step timing averages "
+                             "(trainers/base.py:82-87,330-358)")
     args = parser.parse_args(argv)
     logger = setup(args)
 
@@ -121,7 +124,8 @@ def main(argv=None):
     trainer.train(batches,
                   max_epochs=args.max_epochs,
                   snapshot_iter=args.snapshot_iter,
-                  logging_iter=args.logging_iter)
+                  logging_iter=args.logging_iter,
+                  speed_benchmark=args.speed_benchmark)
     logger.info(f"done at iteration {trainer.iteration}; "
                 f"checkpoints + logs under {args.save_path}")
     return trainer

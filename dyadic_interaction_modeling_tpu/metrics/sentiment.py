@@ -64,7 +64,10 @@ def weighted_ce_loss(logits: Array, labels: Array,
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
-DEFAULT_CLASS_WEIGHTS = jnp.asarray([432 / 113, 423 / 195, 432 / 115])
+# numpy, NOT jnp: module-level device arrays initialize the backend at
+# import (opens the TPU tunnel before CLIs can force the platform)
+DEFAULT_CLASS_WEIGHTS = np.asarray([432 / 113, 423 / 195, 432 / 115],
+                                   dtype=np.float32)
 
 
 def train_probe(frames: np.ndarray, labels: np.ndarray, *, epochs: int = 20,

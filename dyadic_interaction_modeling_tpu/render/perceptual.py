@@ -27,8 +27,11 @@ import numpy as np
 
 Array = jax.Array
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
+# numpy, NOT jnp: a module-level device array would initialize the jax
+# backend at import time - before CLIs can force the platform, which on the
+# axon plugin means opening the TPU tunnel even for CPU-only runs
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], dtype=np.float32)
 
 # VGG19 configuration: conv channel plan with 'M' maxpools
 _VGG19_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -105,7 +108,8 @@ def torch_vgg19_to_flax(state_dict: Mapping[str, np.ndarray]) -> Dict:
 def apply_imagenet_normalization(x: Array) -> Array:
     """[-1, 1] -> imagenet-normalised (perceptual.py:359-366)."""
     x = (x + 1) / 2
-    return (x - IMAGENET_MEAN.astype(x.dtype)) / IMAGENET_STD.astype(x.dtype)
+    return ((x - jnp.asarray(IMAGENET_MEAN, x.dtype))
+            / jnp.asarray(IMAGENET_STD, x.dtype))
 
 
 # ---------------------------------------------------------------------------

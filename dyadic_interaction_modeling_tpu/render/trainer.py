@@ -222,7 +222,8 @@ class FaceTrainer:
         return out
 
     def train(self, loader: Iterable, max_epochs: int = 1,
-              snapshot_iter: int = 625, logging_iter: int = 100) -> None:
+              snapshot_iter: int = 625, logging_iter: int = 100,
+              speed_benchmark: bool = False) -> None:
         """Epoch loop with the reference's 2-hour launch limit
         (train.py:90-110).
 
@@ -230,16 +231,46 @@ class FaceTrainer:
         epoch - required for max_epochs > 1 with generator-based loaders,
         which are single-use (a bare exhausted generator would silently run
         zero steps from epoch 2 on).
+
+        ``speed_benchmark``: the reference's opt-in per-iteration timing
+        (trainers/base.py:82-87,330-358). The fwd/loss/bwd split is fused
+        under jit, so the meaningful phases here are data-load vs step
+        (device) time; averages are logged at the logging cadence and
+        written as scalars.
         """
         t0 = time.time()
+        bench = {"data": 0.0, "step": 0.0, "n": 0}
         for epoch in range(self.epoch, max_epochs):
             self.epoch = epoch
-            for data in (loader() if callable(loader) else loader):
+            data_iter = iter(loader() if callable(loader) else loader)
+            while True:
+                td = time.time()
+                try:
+                    data = next(data_iter)
+                except StopIteration:
+                    break
+                ts = time.time()
                 losses = self.optimize_parameters(data)
+                if speed_benchmark:
+                    jax.block_until_ready(self.params)
+                    now = time.time()
+                    bench["data"] += ts - td
+                    bench["step"] += now - ts
+                    bench["n"] += 1
                 if self.iteration % logging_iter == 0:
                     msg = " ".join(f"{k} {v:.4f}" for k, v in losses.items())
                     self.logger.info(f"epoch {epoch} iter {self.iteration}: {msg}")
                     self.writer.add_scalars(losses, self.iteration)
+                    if speed_benchmark and bench["n"]:
+                        avg_d = bench["data"] / bench["n"] * 1e3
+                        avg_s = bench["step"] / bench["n"] * 1e3
+                        self.logger.info(
+                            f"speed: data {avg_d:.1f} ms step {avg_s:.1f} ms "
+                            f"({bench['n']} iters)")
+                        self.writer.add_scalars(
+                            {"time/data_ms": avg_d, "time/step_ms": avg_s},
+                            self.iteration)
+                        bench = {"data": 0.0, "step": 0.0, "n": 0}
                 if self.iteration % snapshot_iter == 0:
                     self.save()
                     self.save_image_grid(data)
