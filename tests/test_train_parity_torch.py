@@ -836,3 +836,197 @@ def test_slm_pretrain_lockstep():
             med = float(jnp.median(jnp.abs(ours - theirs)))
             assert med < 1e-4, f"param diverged after {steps} steps: {name} ({med})"
     assert compared > 60, compared  # the transformer stack is fully covered
+
+
+# ---------------------------------------------------------------------------
+# 6. SpeakerSLMFT lockstep: BIWI speaker finetune (audio+speaker-embed ->
+#    EMOCA codes), frozen converter front-end, trainable speaker-VQ decoder
+# ---------------------------------------------------------------------------
+
+
+class _TorchSpeakerSLMFT(nn.Module):
+    """Torch twin of the SpeakerSLMFT training forward
+    (seq2seq_pretrain.py:516-757) - deterministic (no masking/dropout)."""
+
+    def __init__(self, vq_s, vq_l, vdim):
+        super().__init__()
+        self.speaker_vq, self.listener_vq = vq_s, vq_l
+        for p in vq_l.parameters():
+            p.requires_grad = False  # :540-547
+        for p in list(vq_s.encoder.parameters()) + list(vq_s.quantize.parameters()):
+            p.requires_grad = False  # :554-561 (decoder stays trainable)
+        # converter front-end, FROZEN (:563-573)
+        self.vertice_mapping = nn.Sequential(nn.Linear(vdim, 56),
+                                             nn.LeakyReLU(0.2, True))
+        self.squasher = nn.Sequential(nn.Sequential(
+            nn.Conv1d(56, 56, 5, stride=1, padding=2, padding_mode="replicate"),
+            nn.LeakyReLU(0.2, True), nn.InstanceNorm1d(56, affine=False)))
+        for p in list(self.vertice_mapping.parameters()) + list(self.squasher.parameters()):
+            p.requires_grad = False
+        self.vertice_map_reverse_lstm = nn.LSTM(56, 384, 2, batch_first=True,
+                                                bidirectional=True)
+        self.vertice_map_reverse_lstm_2 = nn.LSTM(56, 384, 2, batch_first=True,
+                                                  bidirectional=True)
+        self.vertice_map_reverse = nn.Sequential(
+            nn.Linear(768, 768), nn.LeakyReLU(0.2, True), nn.Linear(768, vdim))
+        self.vertice_map_reverse2 = nn.Sequential(
+            nn.Linear(768, 768), nn.LeakyReLU(0.2, True), nn.Linear(768, vdim))
+        self.encoder_s = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.encoder_l = XTContinuousTransformerWrapper(56, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.encoder_joint = XTContinuousTransformerWrapper(DIM, DIM, DIM, DEPTH, HEADS, MAXLEN)
+        self.decoder_joint = XTAutoregressiveWrapper(XTTransformerWrapper(
+            NTOK, DIM + DIM_A, DEPTH, HEADS, MAXLEN, use_abs_pos_emb=True))
+        self.norm_s = nn.LayerNorm(DIM)
+        self.norm_l = nn.LayerNorm(DIM)
+        self.norm = nn.LayerNorm(DIM)
+        for nm, shape in (("patch_embed_s", (1, 1, 56)), ("patch_embed_l", (1, 1, 56)),
+                          ("patch_embed_dec_s", (1, 1, DIM)),
+                          ("patch_embed_dec_l", (1, 1, DIM))):
+            setattr(self, nm, nn.Parameter(torch.randn(*shape) * 0.02))
+        self.speaker_embed = nn.Embedding(15, DIM)
+        self.W = nn.Parameter(torch.randn(2))
+
+    def forward(self, verts, emoca, audio, mask, template, sids):
+        import torch.nn.functional as F
+
+        b, l, _ = verts.shape
+        v = verts - template.unsqueeze(1)
+        v = self.vertice_mapping(v)
+        v = self.squasher(v.permute(0, 2, 1)).permute(0, 2, 1)
+        with torch.no_grad():
+            z_emoca = []
+            for i in range(b):
+                feats = self.listener_vq.encode(
+                    emoca[i][mask[i]].unsqueeze(0))[2][2].squeeze()
+                z_emoca.append(F.pad(feats, (0, l - feats.shape[-1]), value=-100))
+            z_emoca = torch.stack(z_emoca, dim=0)
+        x_l = self.speaker_embed(sids).unsqueeze(1).repeat(1, l, 1)
+        ctx = torch.cat([x_l + self.patch_embed_dec_l, audio], dim=-1)
+        inp, tgt = z_emoca[:, :-1], z_emoca[:, 1:]
+        inp = torch.where(inp >= 0, inp, torch.zeros_like(inp))
+        logits = self.decoder_joint.net(inp, context=ctx, context_mask=mask)
+        l_ce = F.cross_entropy(logits.reshape(-1, NTOK), tgt.reshape(-1),
+                               ignore_index=-100)
+        pred = torch.argmax(logits, dim=-1)
+        one_hot = torch.zeros(b, pred.shape[1], self.speaker_vq.quantize.n_e)
+        one_hot.scatter_(2, pred.unsqueeze(2), 1)
+        zq = torch.matmul(one_hot, self.speaker_vq.quantize.embedding.weight)
+        pred_emoca = self.speaker_vq.decode(zq.permute(0, 2, 1))
+        l_emoca = F.mse_loss(pred_emoca, emoca[:, 1:, :])
+        return l_ce + l_emoca
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+def test_speaker_slmft_train_lockstep():
+    """K AdamW(wd=0.01)+clip(1.0) steps of SpeakerSLMFT track the torch twin
+    (the finetune_s2s_pretrain BIWI branch's optimizer wiring + first full
+    SpeakerSLMFT forward/loss parity pin)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models import stage1_BIWI
+
+    from dyadic_interaction_modeling_tpu.models.slm import (
+        SPEAKER_SLMFT_FROZEN_SUBSTRINGS,
+        SpeakerSLMFT,
+    )
+
+    cfg, vq_cfg = _tiny_cfgs()
+    vdim = 120
+    lr, clip, steps = 2e-3, 1.0, 6
+    b, l = 2, 12
+    torch.manual_seed(21)
+    twin = _TorchSpeakerSLMFT(stage1_BIWI.VQAutoEncoder(vq_cfg),
+                              stage1_BIWI.VQAutoEncoder(vq_cfg), vdim)
+    twin.eval()
+
+    model = SpeakerSLMFT(cfg, vq_cfg, vertice_dim=vdim)
+    ks = jax.random.split(jax.random.PRNGKey(22), 3)
+    tmpl = model.init(jax.random.PRNGKey(23),
+                      jax.random.normal(ks[0], (b, l, vdim)),
+                      jax.random.normal(ks[1], (b, l, 56)),
+                      jax.random.normal(ks[2], (b, l, DIM_A)),
+                      jnp.ones((b, l), dtype=bool), jnp.zeros((b, vdim)),
+                      jnp.zeros((b,), jnp.int32))["params"]
+    params = torch_slm_to_flax(dict(twin.state_dict()), cfg, vq_cfg,
+                               variant="speaker_slmft",
+                               params_template=tmpl)["params"]
+
+    state = create_train_state(model, {"params": params}, lr,
+                               weight_decay=0.01, clip_norm=clip,
+                               frozen_substrings=SPEAKER_SLMFT_FROZEN_SUBSTRINGS)
+
+    @jax.jit
+    def flax_step(state, verts, emoca, audio, mask, template, sids):
+        def loss_fn(p):
+            out = model.apply({"params": p}, verts, emoca, audio, mask,
+                              template, sids)
+            return out.total_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    rng = np.random.RandomState(24)
+    mask_np = np.ones((b, l), dtype=bool)
+    mask_np[1, 9:] = False
+    template = rng.randn(b, vdim).astype(np.float32)
+    sids = np.array([0, 3], np.int32)
+    batches = [(rng.randn(b, l, vdim).astype(np.float32),
+                rng.randn(b, l, 56).astype(np.float32),
+                rng.randn(b, l, DIM_A).astype(np.float32)) for _ in range(3)]
+
+    # step-0 grad signal for comparability gating (see the SLM test)
+    def loss0(p):
+        return model.apply({"params": p}, jnp.asarray(batches[0][0]),
+                           jnp.asarray(batches[0][1]), jnp.asarray(batches[0][2]),
+                           jnp.asarray(mask_np), jnp.asarray(template),
+                           jnp.asarray(sids)).total_loss
+
+    g0 = jax.grad(loss0)(state.params)
+    grad_rms = {jax.tree_util.keystr(pth): float(jnp.sqrt(jnp.mean(jnp.square(x))))
+                for pth, x in jax.tree_util.tree_leaves_with_path(g0)}
+
+    opt = torch.optim.AdamW([p for p in twin.parameters() if p.requires_grad],
+                            lr=lr)
+    losses_t, losses_j = [], []
+    for k in range(steps):
+        verts, emoca, audio = batches[k % len(batches)]
+        opt.zero_grad()
+        loss = twin(torch.from_numpy(verts), torch.from_numpy(emoca),
+                    torch.from_numpy(audio), torch.from_numpy(mask_np),
+                    torch.from_numpy(template), torch.from_numpy(sids))
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(twin.parameters(), clip)
+        opt.step()
+        losses_t.append(float(loss))
+        state, lj = flax_step(state, jnp.asarray(verts), jnp.asarray(emoca),
+                              jnp.asarray(audio), jnp.asarray(mask_np),
+                              jnp.asarray(template), jnp.asarray(sids))
+        losses_j.append(float(lj))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=1e-5)
+
+    final = torch_slm_to_flax(dict(twin.state_dict()), cfg, vq_cfg,
+                              variant="speaker_slmft",
+                              params_template=tmpl)["params"]
+    flat_ref = jax.tree_util.tree_leaves_with_path(final)
+    flat_ours = dict(jax.tree_util.tree_leaves_with_path(state.params))
+    compared = 0
+    for path, leaf in flat_ref:
+        name = jax.tree_util.keystr(path)
+        ours, theirs = flat_ours[path], jnp.asarray(np.asarray(leaf))
+        frozen = ("listener_vq" in name or "quantize" in name
+                  or ("speaker_vq" in name and "encoder" in name)
+                  or "vertice_mapping" in name or "squasher" in name)
+        if frozen:
+            np.testing.assert_array_equal(np.asarray(ours), np.asarray(theirs),
+                                          err_msg=f"frozen moved: {name}")
+        elif "speaker_vq" in name:
+            # trainable speaker-VQ decoder: argmax-gated inputs (see SLM test)
+            med = float(jnp.median(jnp.abs(ours - theirs)))
+            assert med < 5e-3, f"VQ decoder ran away: {name} ({med})"
+        elif grad_rms.get(name, 0.0) > 1e-3:
+            compared += 1
+            med = float(jnp.median(jnp.abs(ours - theirs)))
+            assert med < 1e-4, f"param diverged after {steps} steps: {name} ({med})"
+    assert compared > 20, compared  # decoder stack + speaker embed covered
