@@ -57,6 +57,10 @@ def main(argv=None):
     parser.add_argument("--clip-norm", type=float, default=1.0)
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--vq-token-cache", action="store_true",
+                        help="tokenize each clip once with the frozen VQs and "
+                             "reuse across epochs (identical numerics; "
+                             "engine.VQTokenCache)")
     args = parser.parse_args(argv)
     logger = setup(args)
     slm_cfg = load_config(args, slm_defaults)
@@ -83,7 +87,12 @@ def main(argv=None):
                                weight_decay=args.weight_decay,
                                clip_norm=args.clip_norm,
                                frozen_substrings=SLMFT_FROZEN_SUBSTRINGS)
-    step = make_slm_train_step(model)
+    step = make_slm_train_step(model, with_vq_tokens=args.vq_token_cache)
+    vq_cache = None
+    if args.vq_token_cache:
+        from ..engine.pt_engine import VQTokenCache
+
+        vq_cache = VQTokenCache(model)
     save_dir = args.save_path or "./runs_vico_ft/model"
     keeper = BestCheckpointKeeper(save_dir)
     from ..utils.observability import MetricsWriter
@@ -94,7 +103,18 @@ def main(argv=None):
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
         rng, sub = jax.random.split(rng)
-        state, logs = train_epoch(state, _batches(train_loader), step, sub,
+        if vq_cache:
+            # see train_s2s_pretrain: snapshot params (the step donates its
+            # state) for the lazy frozen-VQ tokenization
+            from .train_s2s_pretrain import _slm_batches_with_vq_tokens
+
+            tok_params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), state.params)
+            batches = _slm_batches_with_vq_tokens(train_loader, vq_cache,
+                                                  tok_params)
+        else:
+            batches = _batches(train_loader)
+        state, logs = train_epoch(state, batches, step, sub,
                                   epoch=epoch, logger=logger)
         rng, sub = jax.random.split(rng)
         y_true, y_pred, xs, _ = evaluate_finetune_epoch(

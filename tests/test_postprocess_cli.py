@@ -189,3 +189,21 @@ def test_cli_test_s2s_synthetic_smoke():
         "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
         "dec_heads", "2", "dec_num_tokens", "24",
     ])
+
+
+@pytest.mark.slow
+def test_cli_finetune_s2s_pretrain_synthetic_smoke(tmp_path):
+    """SLMFT finetune CLI end to end with --vq-token-cache (2 epochs: the
+    cache path + donation-safe snapshot) + observability artifacts."""
+    from dyadic_interaction_modeling_tpu.cli import finetune_s2s_pretrain
+
+    save = str(tmp_path / "ft")
+    state, keeper = finetune_s2s_pretrain.main([
+        "--synthetic", "--batch-size", "4", "--epochs", "2",
+        "--vq-token-cache", "--save-path", save,
+        "dim", "32", "enc_depth", "1", "enc_heads", "2", "dec_depth", "1",
+        "dec_heads", "2", "num_tokens", "24",
+    ])
+    assert keeper.best is not None and np.isfinite(keeper.best)
+    _assert_observability_artifacts(save, [
+        "val/fid_pose", "val/fid_exp", "learning_rate"])
