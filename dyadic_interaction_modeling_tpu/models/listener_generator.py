@@ -119,6 +119,13 @@ class ListenerGenerator(CfgModule):
     vq_cfg_speaker: object
     vq_cfg_listener: object
     dtype: jnp.dtype = jnp.float32
+    # "reference": reproduce the reference's memory REINTERPRETATION of the
+    # (B, zq, fq*L) quant tensor into (B, L, fq*zq) via .view WITHOUT a
+    # transpose (seq2seq.py:227-228) - the per-frame rows are scrambled
+    # across codebook channels, but reference-trained encoder weights expect
+    # exactly that order (caught by tests/test_train_parity_torch.py's LG
+    # lockstep). "frames": the clean per-frame layout (opt-out).
+    speaker_feature_layout: str = "reference"
 
     def __post_init__(self):
         for f in ("vq_cfg_speaker", "vq_cfg_listener"):
@@ -153,12 +160,22 @@ class ListenerGenerator(CfgModule):
         lengths = jnp.sum(mask, axis=1).astype(jnp.int32)
         sp = self.vq_cfg_speaker
         enc_s = self.speaker_vq.encode(v_speaker, lengths=lengths)
-        # (B, zq, L*fq) -> (B, L, fq*zq), zero padded positions
-        quant = jnp.transpose(enc_s.quant, (0, 2, 1))
-        b, lfq, zq = quant.shape
-        valid = (jnp.arange(lfq)[None, :] < (lengths * sp.face_quan_num)[:, None])
-        quant = jnp.where(valid[:, :, None], quant, 0.0)
-        x_speaker = quant.reshape(b, -1, sp.face_quan_num * sp.zquant_dim)
+        quant = enc_s.quant  # (B, zq, L*fq)
+        b = quant.shape[0]
+        if self.speaker_feature_layout == "reference":
+            # reference quirk: pad with 0 on the LAST axis then .view to
+            # (B, L, fq*zq) - a row-major memory reinterpretation, NOT a
+            # transpose (seq2seq.py:220-228)
+            valid = (jnp.arange(quant.shape[-1])[None, :]
+                     < (lengths * sp.face_quan_num)[:, None])
+            quant = jnp.where(valid[:, None, :], quant, 0.0)
+            x_speaker = quant.reshape(b, -1, sp.face_quan_num * sp.zquant_dim)
+        else:  # "frames": clean per-frame codebook features
+            quant = jnp.transpose(quant, (0, 2, 1))
+            valid = (jnp.arange(quant.shape[1])[None, :]
+                     < (lengths * sp.face_quan_num)[:, None])
+            quant = jnp.where(valid[:, :, None], quant, 0.0)
+            x_speaker = quant.reshape(b, -1, sp.face_quan_num * sp.zquant_dim)
         idx_l = self.listener_vq.encode_indices(v_listener, lengths=lengths)
         z_listener = jnp.where(
             jnp.arange(idx_l.shape[1])[None, :] < lengths[:, None], idx_l, IGNORE)
