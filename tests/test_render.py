@@ -547,4 +547,343 @@ def test_perceptual_loss_network_variants_run():
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        PerceptualLoss(network="inception_v3")
+        PerceptualLoss(network="no_such_trunk")
+
+
+@pytest.mark.slow
+def test_inception_v3_importer_parity():
+    """torch_inception_v3_to_flax vs a plain-torch Inception-v3 trunk built
+    with torchvision's exact module/branch naming and RANDOM BN running
+    stats (reference _inception_v3, perceptual.py:255-281). Covers all four
+    taps: pool_1 / pool_2 / mixed_6e / pool_3."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+    F = torch.nn.functional
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        InceptionV3Features,
+        torch_inception_v3_to_flax,
+    )
+
+    class BasicConv2d(tnn.Module):
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = tnn.BatchNorm2d(cout, eps=0.001)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    class InceptionA(tnn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+            self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+            self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+        def forward(self, x):
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([self.branch1x1(x), b5, bd, bp], 1)
+
+    class InceptionB(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+            self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+            self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            return torch.cat([self.branch3x3(x), bd,
+                              F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionC(tnn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+            self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+            bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([self.branch1x1(x), b7, bd, bp], 1)
+
+    class InceptionD(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+            self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+            self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+            self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+            self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+        def forward(self, x):
+            b3 = self.branch3x3_2(self.branch3x3_1(x))
+            b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x))))
+            return torch.cat([b3, b7, F.max_pool2d(x, 3, stride=2)], 1)
+
+    class InceptionE(tnn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+            self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+            self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+            self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+            self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+        def forward(self, x):
+            b3 = self.branch3x3_1(x)
+            b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+            bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+            bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+            bp = self.branch_pool(F.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([self.branch1x1(x), b3, bd, bp], 1)
+
+    class TorchInception(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+            self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+            self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+            self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+            self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+            self.Mixed_5b = InceptionA(192, 32)
+            self.Mixed_5c = InceptionA(256, 64)
+            self.Mixed_5d = InceptionA(288, 64)
+            self.Mixed_6a = InceptionB(288)
+            self.Mixed_6b = InceptionC(768, 128)
+            self.Mixed_6c = InceptionC(768, 160)
+            self.Mixed_6d = InceptionC(768, 160)
+            self.Mixed_6e = InceptionC(768, 192)
+            self.Mixed_7a = InceptionD(768)
+            self.Mixed_7b = InceptionE(1280)
+            self.Mixed_7c = InceptionE(2048)
+
+        def forward(self, x):
+            outs = {}
+            x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+            x = F.max_pool2d(x, 3, stride=2)
+            outs["pool_1"] = x
+            x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+            x = F.max_pool2d(x, 3, stride=2)
+            outs["pool_2"] = x
+            x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
+            x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(
+                self.Mixed_6b(self.Mixed_6a(x)))))
+            outs["mixed_6e"] = x
+            x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
+            outs["pool_3"] = F.adaptive_avg_pool2d(x, (1, 1))
+            return outs
+
+    torch.manual_seed(0)
+    ref = TorchInception()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    ref.eval()
+
+    layers = ("pool_1", "pool_2", "mixed_6e", "pool_3")
+    model = InceptionV3Features(layers)
+    params = torch_inception_v3_to_flax(ref.state_dict())
+    x = np.random.RandomState(7).randn(1, 128, 128, 3).astype(np.float32)
+    feats = model.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        got = {k: v.numpy().transpose(0, 2, 3, 1)
+               for k, v in ref(torch.from_numpy(x.transpose(0, 3, 1, 2))).items()}
+    for name in layers:
+        np.testing.assert_allclose(np.asarray(feats[name]), got[name],
+                                   rtol=2e-3, atol=2e-3, err_msg=name)
+
+    # strict key accounting: an extra unexpected key must raise
+    sd = {k: v for k, v in ref.state_dict().items()}
+    sd["Mixed_9z.branch1x1.conv.weight"] = sd["Mixed_5b.branch1x1.conv.weight"]
+    with pytest.raises(ValueError, match="unmapped"):
+        torch_inception_v3_to_flax(sd)
+
+
+@pytest.mark.slow
+def test_vgg_face_importer_parity():
+    """torch_vgg_face_to_flax vs a plain-torch VGG-Face built exactly like
+    the reference's _vgg_face_dag sequential (vgg16 features + avgpool +
+    NCHW flatten + fc6/relu/fc7/relu/fc8, perceptual.py:316-343), fed from
+    a state_dict in the vgg_face_dag download layout."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        VGGFaceFeatures,
+        torch_vgg_face_to_flax,
+    )
+
+    vgg16_cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                 512, 512, 512, "M", 512, 512, 512, "M"]
+    conv_names = ("conv1_1", "conv1_2", "conv2_1", "conv2_2",
+                  "conv3_1", "conv3_2", "conv3_3",
+                  "conv4_1", "conv4_2", "conv4_3",
+                  "conv5_1", "conv5_2", "conv5_3")
+
+    torch.manual_seed(1)
+    feat_layers, cin, ci = [], 3, 0
+    convs = {}
+    for v in vgg16_cfg:
+        if v == "M":
+            feat_layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            conv = tnn.Conv2d(cin, v, 3, padding=1)
+            convs[conv_names[ci]] = conv
+            feat_layers += [conv, tnn.ReLU()]
+            cin, ci = v, ci + 1
+    fc6 = tnn.Linear(512 * 7 * 7, 4096)
+    fc7 = tnn.Linear(4096, 4096)
+    fc8 = tnn.Linear(4096, 2622)
+
+    class Flatten(tnn.Module):
+        def forward(self, x):
+            # .reshape, not the reference's .view: this twin's avgpool output
+            # is non-contiguous at 224 (identical element order either way)
+            return x.reshape(x.shape[0], -1)
+
+    seq = tnn.Sequential(tnn.Sequential(*feat_layers),
+                         tnn.AdaptiveAvgPool2d((7, 7)), Flatten(),
+                         fc6, tnn.ReLU(), tnn.Dropout(),
+                         fc7, tnn.ReLU(), tnn.Dropout(), fc8)
+    seq.eval()
+    tap_idx = {1: "avgpool", 3: "fc6", 4: "relu_6", 6: "fc7",
+               7: "relu_7", 9: "fc8"}
+
+    # state_dict in the vgg_face_dag download layout
+    sd = {}
+    for name, conv in convs.items():
+        sd[f"{name}.weight"] = conv.weight.detach()
+        sd[f"{name}.bias"] = conv.bias.detach()
+    for name, fc in (("fc6", fc6), ("fc7", fc7), ("fc8", fc8)):
+        sd[f"{name}.weight"] = fc.weight.detach()
+        sd[f"{name}.bias"] = fc.bias.detach()
+
+    layers = ("avgpool", "fc6", "relu_7", "fc8")
+    model = VGGFaceFeatures(layers)
+    params = torch_vgg_face_to_flax(sd)
+    x = np.random.RandomState(2).randn(1, 224, 224, 3).astype(np.float32)
+    feats = model.apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        h = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        got = {}
+        for i, m in enumerate(seq):
+            h = m(h)
+            if i in tap_idx:
+                got[tap_idx[i]] = h.numpy()
+    np.testing.assert_allclose(np.asarray(feats["avgpool"]),
+                               got["avgpool"].transpose(0, 2, 3, 1),
+                               rtol=1e-4, atol=1e-4)
+    for name in ("fc6", "relu_7", "fc8"):
+        np.testing.assert_allclose(np.asarray(feats[name]), got[name],
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+    sd["fc9.weight"] = sd["fc8.weight"]
+    with pytest.raises(ValueError, match="unmapped"):
+        torch_vgg_face_to_flax(sd)
+
+
+def test_adaptive_avg_pool_matches_torch():
+    """adaptive_avg_pool_2d vs torch AdaptiveAvgPool2d on divisible AND
+    non-divisible input sizes (torch's floor/ceil window rule)."""
+    torch = pytest.importorskip("torch")
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        adaptive_avg_pool_2d,
+    )
+
+    rng = np.random.RandomState(5)
+    for h, w in ((14, 14), (10, 13), (7, 7), (9, 23)):
+        x = rng.randn(2, h, w, 3).astype(np.float32)
+        ours = np.asarray(adaptive_avg_pool_2d(jnp.asarray(x), (7, 7)))
+        with torch.no_grad():
+            ref = torch.nn.functional.adaptive_avg_pool2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)), (7, 7))
+        np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"{h}x{w}")
+
+
+def test_robust_resnet50_importer_unwraps_model_zoo_layout():
+    """torch_robust_resnet50_to_flax accepts the ImageNet.pt layout
+    ({'model': {'module.model.<k>': v}}, reference perceptual.py:304-313)
+    and produces the same params as the plain resnet50 importer."""
+    torch = pytest.importorskip("torch")
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        torch_resnet50_to_flax,
+        torch_robust_resnet50_to_flax,
+    )
+
+    # minimal structurally-valid resnet50 state_dict (random tensors)
+    g = torch.Generator().manual_seed(3)
+    sd = {"conv1.weight": torch.randn(64, 3, 7, 7, generator=g)}
+    for s in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{s}"] = torch.rand(64, generator=g) + 0.5
+    stages = [(3, 64), (4, 128), (6, 256), (3, 512)]
+    cin = 64
+    for si, (blocks, width) in enumerate(stages):
+        for bi in range(blocks):
+            p = f"layer{si + 1}.{bi}"
+            dims = [(width, cin, 1), (width, width, 3), (width * 4, width, 1)]
+            for k, (co, ci, ksz) in enumerate(dims, 1):
+                sd[f"{p}.conv{k}.weight"] = torch.randn(co, ci, ksz, ksz, generator=g)
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{p}.bn{k}.{s}"] = torch.rand(co, generator=g) + 0.5
+            if bi == 0:
+                sd[f"{p}.downsample.0.weight"] = torch.randn(
+                    width * 4, cin, 1, 1, generator=g)
+                for s in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{p}.downsample.1.{s}"] = torch.rand(
+                        width * 4, generator=g) + 0.5
+            cin = width * 4
+    plain = torch_resnet50_to_flax(sd)
+    wrapped = {"model": {f"module.model.{k}": v for k, v in sd.items()}}
+    wrapped["model"]["module.attacker.normalize.mean"] = torch.zeros(3)
+    robust = torch_robust_resnet50_to_flax(wrapped)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        plain, robust)
+
+
+def test_perceptual_loss_new_networks_run():
+    """PerceptualLoss covers the reference's remaining network= options
+    (inception_v3 / robust_resnet50 / vgg_face_dag) including the resize-
+    to-224 path (perceptual.py:106-112)."""
+    from dyadic_interaction_modeling_tpu.render.perceptual import PerceptualLoss
+
+    rng = np.random.RandomState(6)
+    a = jnp.asarray(rng.rand(1, 96, 96, 3).astype(np.float32) * 2 - 1)
+    b = jnp.asarray(rng.rand(1, 96, 96, 3).astype(np.float32) * 2 - 1)
+    loss = PerceptualLoss(network="inception_v3", num_scales=1)(a, b)
+    assert np.isfinite(float(loss))
+    loss = PerceptualLoss(network="robust_resnet50", num_scales=1)(a, b)
+    assert np.isfinite(float(loss))
+    # vgg_face needs >=224 inputs; resize=True makes any input valid
+    loss = PerceptualLoss(network="vgg_face_dag", num_scales=1,
+                          resize=True, use_style_loss=True,
+                          weight_style_to_perceptual=10.0)(a, b)
+    assert np.isfinite(float(loss))
