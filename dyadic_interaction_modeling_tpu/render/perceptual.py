@@ -733,6 +733,14 @@ PERCEPTUAL_NETWORKS = {
 }
 
 
+def _instance_norm(feat: Array, eps: float = 1e-5) -> Array:
+    """torch F.instance_norm (affine-free) on NHWC: per-sample, per-channel
+    normalization over the spatial dims (reference perceptual.py:131-133)."""
+    mean = jnp.mean(feat, axis=(1, 2), keepdims=True)
+    var = jnp.var(feat, axis=(1, 2), keepdims=True)
+    return (feat - mean) * jax.lax.rsqrt(var + eps)
+
+
 def _gram(feat: Array) -> Array:
     b, h, w, c = feat.shape
     f = feat.reshape(b, h * w, c)
@@ -750,7 +758,10 @@ class PerceptualLoss:
                  network: str = "vgg19",
                  vgg_params: Optional[Dict] = None,
                  rng: Optional[jax.Array] = None,
-                 resize: bool = False):
+                 resize: bool = False,
+                 weights: Optional[Sequence[float]] = None,
+                 criterion: str = "l1",
+                 instance_normalized: bool = False):
         # callers passing the vgg default taps get each trunk's own taps
         # (the reference makes the caller choose; our CLIs only expose vgg19)
         if layers and layers[0].startswith("relu_1_"):
@@ -768,6 +779,25 @@ class PerceptualLoss:
         self.weight_style = weight_style_to_perceptual
         self.network = network
         self.resize = resize  # bilinear to 224 first (perceptual.py:106-112)
+        # reference surface (perceptual.py:41-55,120-143): per-layer weights
+        # (default all 1.0 - the shipped face.yaml passes none), l1|l2
+        # criterion, optional instance norm on the feature maps
+        if weights is None:
+            weights = [1.0] * len(self.layers)
+        elif isinstance(weights, (int, float)):
+            weights = [float(weights)]
+        if len(weights) != len(self.layers):
+            raise ValueError(
+                f"number of weights ({len(weights)}) must equal number of "
+                f"layers ({len(self.layers)})")
+        self.weights = [float(w) for w in weights]
+        if criterion in ("l2", "mse"):
+            self._criterion = lambda a, b: jnp.mean(jnp.square(a - b))
+        elif criterion == "l1":
+            self._criterion = lambda a, b: jnp.mean(jnp.abs(a - b))
+        else:
+            raise ValueError(f"Criterion {criterion} is not recognized")
+        self.instance_normalized = instance_normalized
         # smallest input the deepest tap can survive: pooling/striding a
         # too-small map produces an EMPTY tensor whose mean is NaN (the torch
         # reference would error instead; we skip scales that are too small -
@@ -812,7 +842,8 @@ class PerceptualLoss:
                     jnp.zeros((1, init_size, init_size, 3)))
             self.params = vgg_params
 
-    def __call__(self, inp: Array, target: Array) -> Array:
+    def __call__(self, inp: Array, target: Array,
+                 mask: Optional[Array] = None) -> Array:
         if self.model is None:
             return jnp.mean(jnp.abs(inp - target))
         inp = apply_imagenet_normalization(inp)
@@ -828,13 +859,26 @@ class PerceptualLoss:
                 break  # deepest tap would pool to an empty map (NaN)
             fi = self.model.apply(self.params, inp)
             ft = self.model.apply(self.params, target)
-            for name in self.layers:
-                loss = loss + jnp.mean(jnp.abs(
-                    fi[name] - jax.lax.stop_gradient(ft[name])))
+            for name, weight in zip(self.layers, self.weights):
+                a = fi[name]
+                b = jax.lax.stop_gradient(ft[name])
+                if a.ndim == 4:  # spatial taps only (vgg_face fc taps are 2-D)
+                    if self.instance_normalized:
+                        a = _instance_norm(a)
+                        b = _instance_norm(b)
+                    if mask is not None:
+                        # reference interpolates the mask to the feature size
+                        # and multiplies both sides (perceptual.py:134-140)
+                        m = jax.image.resize(
+                            mask, (a.shape[0], a.shape[1], a.shape[2],
+                                   mask.shape[-1]), "bilinear")
+                        a = a * m
+                        b = b * m
+                loss = loss + weight * self._criterion(a, b)
                 if self.use_style_loss and scale == 0 and fi[name].ndim == 4:
-                    # gram needs a spatial map; vgg_face fc taps are 2-D
-                    style_loss = style_loss + jnp.mean(jnp.abs(
-                        _gram(fi[name]) - jax.lax.stop_gradient(_gram(ft[name]))))
+                    style_loss = style_loss + self._criterion(
+                        _gram(fi[name]),
+                        jax.lax.stop_gradient(_gram(ft[name])))
             if scale != self.num_scales - 1:
                 b, h, w, c = inp.shape
                 inp = jax.image.resize(inp, (b, h // 2, w // 2, c), "bilinear")

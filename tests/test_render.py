@@ -887,3 +887,53 @@ def test_perceptual_loss_new_networks_run():
                           resize=True, use_style_loss=True,
                           weight_style_to_perceptual=10.0)(a, b)
     assert np.isfinite(float(loss))
+
+
+def test_perceptual_loss_option_surface_torch_parity():
+    """criterion l1/l2, per-layer weights, instance_normalized and the mask
+    argument vs the reference PerceptualLoss formula (perceptual.py:117-161)
+    computed with torch ops on the SAME random-vgg features."""
+    torch = pytest.importorskip("torch")
+    F = torch.nn.functional
+
+    from dyadic_interaction_modeling_tpu.render.perceptual import (
+        PerceptualLoss,
+        VGG19Features,
+        apply_imagenet_normalization,
+    )
+
+    layers = ("relu_1_1", "relu_2_1")
+    weights = (0.25, 1.5)
+    lp = PerceptualLoss(layers=layers, num_scales=2, weights=weights,
+                        criterion="l2", instance_normalized=True)
+    rng = np.random.RandomState(8)
+    a = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    b = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    mask = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
+    got = float(lp(a, b, mask=mask))
+
+    # reference formula with torch ops over the SAME features
+    model = VGG19Features(layers)
+    expected = 0.0
+    ai, bi = apply_imagenet_normalization(a), apply_imagenet_normalization(b)
+    for scale in range(2):
+        fa = model.apply(lp.params, ai)
+        fb = model.apply(lp.params, bi)
+        for name, w in zip(layers, weights):
+            ta = torch.from_numpy(np.asarray(fa[name]).transpose(0, 3, 1, 2))
+            tb = torch.from_numpy(np.asarray(fb[name]).transpose(0, 3, 1, 2))
+            ta, tb = F.instance_norm(ta), F.instance_norm(tb)
+            tm = torch.from_numpy(np.asarray(jax.image.resize(
+                mask, (2, ta.shape[2], ta.shape[3], 1),
+                "bilinear")).transpose(0, 3, 1, 2))
+            expected += w * float(F.mse_loss(ta * tm, tb * tm))
+        if scale == 0:
+            sh = (ai.shape[0], ai.shape[1] // 2, ai.shape[2] // 2, ai.shape[3])
+            ai = jax.image.resize(ai, sh, "bilinear")
+            bi = jax.image.resize(bi, sh, "bilinear")
+    np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+    with pytest.raises(ValueError, match="number of weights"):
+        PerceptualLoss(layers=layers, weights=(1.0,))
+    with pytest.raises(ValueError, match="Criterion"):
+        PerceptualLoss(criterion="huber")
