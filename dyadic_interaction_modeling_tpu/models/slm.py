@@ -341,6 +341,41 @@ class SLMFT(_SLMBase):
         prompt = jnp.maximum(z_l[:, :1], 0)  # first code; -100 pad -> 0
         return ctx, prompt
 
+    # --- streaming serving support (serving/streaming.py drives these) ---
+    # The speaker encoders run under a triangular attn_mask
+    # (seq2seq_pretrain.py:437), so frame t's encoding never changes as later
+    # frames arrive - incremental KV-cached extension is EXACT, and a live
+    # session can interleave speaker-frame arrival with listener generation.
+
+    def encode_context_chunk(self, v_speaker_chunk, v_audio_chunk,
+                             enc_s_cache, enc_j_cache, t):
+        """Causally encode a (B, C, dim_in) speaker chunk starting at absolute
+        frame ``t`` against encoder KV caches; returns the decoder-context
+        chunk (== rows [t, t+C) of ``decoder_context``) and updated caches."""
+        h = v_speaker_chunk + self.patch_embed_s
+        x, enc_s_cache = self.encoder_s.extend(h, enc_s_cache, t)
+        x, enc_j_cache = self.encoder_joint.extend(x, enc_j_cache, t)
+        x = self.norm_s(x)
+        ctx = jnp.concatenate([x + self.patch_embed_dec_s, v_audio_chunk],
+                              axis=-1)
+        return ctx, enc_s_cache, enc_j_cache
+
+    def stream_cross_kv(self, ctx_chunk):
+        """Per-decoder-layer (k, v) projections of a context chunk - linear
+        per position, so appending chunks equals ``decoder_joint.cross_kv``
+        of the full context."""
+        return self.decoder_joint.cross_kv(ctx_chunk)
+
+    def stream_decode_step(self, token, cache, t, cross_kv, context_mask):
+        return self.decoder_joint.decode_step(token, cache, t, cross_kv,
+                                              context_mask)
+
+    def tokenize_listener_frames(self, v_listener):
+        """Frame-rate listener codes for building a streaming prompt
+        (z_l[:, 0] equivalent when only the first frames are known)."""
+        idx = self.listener_vq.encode_indices(v_listener)
+        return jnp.maximum(idx, 0)
+
 
 class SpeakerSLMFT(_SLMBase):
     """BIWI speaker finetune (seq2seq_pretrain.py:516-757).

@@ -222,6 +222,37 @@ class XAttention(nn.Module):
         out = self.to_out(out)
         return out, cache_k, cache_v
 
+    def extend_self(self, x_chunk: Array, cache_k: Array, cache_v: Array,
+                    t: Array) -> Tuple[Array, Array, Array]:
+        """Causal CHUNK extension against a KV cache (streaming prefill).
+
+        x_chunk: (B, C, dim); cache_k/v: (B, H, Lmax, Dh); t: scalar count of
+        positions already cached. Writes the chunk's K/V at [t, t+C) and
+        returns the C queries' causal attention over cache[:t+C]. The chunk
+        math is identical to running the full causal sequence through
+        ``__call__`` and keeping rows [t, t+C) - exactness is what makes
+        streaming sessions equal offline encoding (tests/test_streaming.py).
+        """
+        q = self._split(self._proj(x_chunk, "to_q"))     # (B,H,C,Dh)
+        k_c = self._split(self._proj(x_chunk, "to_k"))
+        v_c = self._split(self._proj(x_chunk, "to_v"))
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_c, (0, 0, t, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_c, (0, 0, t, 0))
+        scale = self.dim_head ** -0.5
+        lmax = cache_k.shape[2]
+        dots = jnp.einsum("bhid,bhjd->bhij", q, cache_k,
+                          preferred_element_type=jnp.float32) * scale
+        qpos = t + jnp.arange(q.shape[2])[:, None]       # (C, 1) absolute
+        kpos = jnp.arange(lmax)[None, :]                 # (1, Lmax)
+        dots = jnp.where((kpos <= qpos)[None, None], dots, NEG_INF)
+        attn = jax.nn.softmax(dots, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cache_v.dtype),
+                         cache_v,
+                         preferred_element_type=jnp.float32).astype(x_chunk.dtype)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        return self.to_out(out), cache_k, cache_v
+
     def step_cross(self, x_t: Array, k: Array, v: Array,
                    key_mask: Optional[Array], groups: int = 1) -> Array:
         """Single-token cross-attention against precomputed context K/V.
@@ -303,17 +334,44 @@ class EncoderLayers(nn.Module):
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        # explicit names keep the param tree identical to the earlier
+        # nn.compact layout (checkpoint/importer compatibility)
+        self.norm_attn = [_xt_norm(self.dtype, f"norm_attn_{i}")
+                          for i in range(self.depth)]
+        self.attn = [XAttention(self.dim, self.heads, self.dim_head,
+                                dtype=self.dtype, name=f"attn_{i}")
+                     for i in range(self.depth)]
+        self.norms_ff = [_xt_norm(self.dtype, f"norm_ff_{i}")
+                         for i in range(self.depth)]
+        self.ffs = [FeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")
+                    for i in range(self.depth)]
+        self.final_norm = _xt_norm(self.dtype, "final_norm")
+
     def __call__(self, x: Array, key_mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None) -> Array:
         for i in range(self.depth):
-            h = _xt_norm(self.dtype, f"norm_attn_{i}")(x)
-            x = x + XAttention(self.dim, self.heads, self.dim_head,
-                               dtype=self.dtype, name=f"attn_{i}")(
-                h, key_mask=key_mask, attn_mask=attn_mask)
-            h = _xt_norm(self.dtype, f"norm_ff_{i}")(x)
-            x = x + FeedForward(self.dim, dtype=self.dtype, name=f"ff_{i}")(h)
-        return _xt_norm(self.dtype, "final_norm")(x)
+            x = x + self.attn[i](self.norm_attn[i](x), key_mask=key_mask,
+                                 attn_mask=attn_mask)
+            x = x + self.ffs[i](self.norms_ff[i](x))
+        return self.final_norm(x)
+
+    # --- streaming support: causal chunk extension against KV caches ---
+
+    def extend(self, x: Array, cache: Dict[str, Array], t: Array
+               ) -> Tuple[Array, Dict[str, Array]]:
+        """Process a (B, C, dim) chunk causally against per-layer KV caches
+        (layout of ``init_decoder_cache``); equals rows [t, t+C) of a full
+        causal ``__call__`` over the concatenated sequence."""
+        new_cache = dict(cache)
+        for i in range(self.depth):
+            a, ck, cv = self.attn[i].extend_self(
+                self.norm_attn[i](x), cache[f"k_{i}"], cache[f"v_{i}"], t)
+            new_cache[f"k_{i}"] = ck
+            new_cache[f"v_{i}"] = cv
+            x = x + a
+            x = x + self.ffs[i](self.norms_ff[i](x))
+        return self.final_norm(x), new_cache
 
 
 class DecoderLayers(nn.Module):
@@ -411,26 +469,46 @@ class ContinuousTransformerWrapper(nn.Module):
     use_abs_pos_emb: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.project_in = nn.Dense(self.dim, dtype=self.dtype)
+        if self.use_abs_pos_emb:
+            self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
+                                      (self.max_seq_len, self.dim))
+        self.layers = EncoderLayers(self.dim, self.depth, self.heads,
+                                    dtype=self.dtype)
+        # lazily initialized on first call - absent from the param tree of
+        # models that only use return_embeddings=True (as before)
+        self.project_out = nn.Dense(self.dim_out, dtype=self.dtype)
+
     def __call__(self, x: Array, mask: Optional[Array] = None,
                  attn_mask: Optional[Array] = None,
                  prepend_embeds: Optional[Array] = None,
                  return_embeddings: bool = False) -> Array:
-        h = nn.Dense(self.dim, dtype=self.dtype, name="project_in")(x)
+        h = self.project_in(x)
         if self.use_abs_pos_emb:
-            pos = self.param("pos_emb", nn.initializers.normal(0.02),
-                             (self.max_seq_len, self.dim))
-            h = h + pos[None, : h.shape[1], :].astype(h.dtype)
+            h = h + self.pos_emb[None, : h.shape[1], :].astype(h.dtype)
         if prepend_embeds is not None:
             h = jnp.concatenate([prepend_embeds.astype(h.dtype), h], axis=1)
             if mask is not None:
                 pre = jnp.ones((h.shape[0], prepend_embeds.shape[1]), dtype=bool)
                 mask = jnp.concatenate([pre, mask], axis=1)
-        h = EncoderLayers(self.dim, self.depth, self.heads, dtype=self.dtype,
-                          name="layers")(h, key_mask=mask, attn_mask=attn_mask)
+        h = self.layers(h, key_mask=mask, attn_mask=attn_mask)
         if return_embeddings:
             return h
-        return nn.Dense(self.dim_out, dtype=self.dtype, name="project_out")(h)
+        return self.project_out(h)
+
+    def extend(self, x_chunk: Array, cache: Dict[str, Array], t: Array
+               ) -> Tuple[Array, Dict[str, Array]]:
+        """Streaming causal extension: encode a (B, C, dim_in) chunk whose
+        first frame sits at absolute position ``t``, against per-layer KV
+        caches. Returns embeddings (the ``return_embeddings=True`` path).
+        Only valid for causally-used encoders (SLMFT's speaker/joint
+        encoders run under a triangular attn_mask, seq2seq_pretrain.py:437)."""
+        h = self.project_in(x_chunk)
+        if self.use_abs_pos_emb:
+            h = h + jax.lax.dynamic_slice_in_dim(
+                self.pos_emb, t, x_chunk.shape[1], axis=0)[None].astype(h.dtype)
+        return self.layers.extend(h, cache, t)
 
 
 class TokenDecoder(nn.Module):
