@@ -250,6 +250,34 @@ class VQAutoEncoder(CfgModule):
         z_q = self.quantize.get_codebook_entry(indices.reshape(-1), shape=None)
         return z_q.reshape(zshape)
 
+    def decode_logit(self, logits: Array, zshape: Tuple[int, int, int]) -> Array:
+        """(B, N, n_embed) logits -> top-1 codes -> motion; 2-D input is
+        treated as code indices directly (stage1_BIWI.py:108-116)."""
+        if logits.ndim == 3:
+            ix = jnp.argmax(jax.nn.softmax(logits, axis=-1), axis=-1)
+        else:
+            ix = logits
+        return self.decode_to_img(ix.reshape(-1, 1), zshape)
+
+
+def get_logit(rng: jax.Array, logits: Array, sample: bool = True,
+              temperature: float = 0.7, top_p: float = 0.9
+              ) -> Tuple[Array, Array]:
+    """Sample code indices from (B, N, n_embed) logits (stage1_BIWI.py:118-137).
+
+    Reference quirks reproduced: ``top_p`` is accepted but NEVER applied (the
+    docstring there says nucleus sampling; the body does plain multinomial
+    after temperature 0.7), and ``sample_idx`` is hardwired to 0. ``sample=
+    False`` returns the argmax. Returns (indices (B, N), probs (B, N, E)).
+    """
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
+    if sample:
+        ix = jax.random.categorical(rng, jnp.log(jnp.maximum(probs, 1e-38)),
+                                    axis=-1)
+    else:
+        ix = jnp.argmax(probs, axis=-1)
+    return ix, probs
+
 
 class VQSpeakerAutoEncoder(CfgModule):
     """Audio-visual speaker VQ-VAE (stage1_BIWI.py:140-251).

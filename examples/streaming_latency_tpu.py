@@ -1,0 +1,107 @@
+"""Streaming serving session latency at reference SLMFT dims on the real TPU.
+
+Drives serving.StreamingListenerSession (live dyadic listener generation -
+no offline equivalent exists in the reference, whose eval encodes the full
+clip first, ``/root/reference/code/x_engine_pt.py:232-277``) and reports:
+
+* compile counts/costs (exactly three programs: feed / prompt / generate-n);
+* steady-state per-round latency of feed(chunk) + generate(chunk) -
+  the real-time budget for a 30 fps dyadic stream with chunk=8 is 267 ms;
+* single-token latency (generate(1)) - the interactive floor.
+
+Platform note (CLAUDE.md): every host->device call costs ~25 ms over the
+axon tunnel, so one feed+generate round carries a ~50 ms floor that a
+locally-attached host would not pay. Reported numbers INCLUDE the tunnel.
+
+Run: ``python examples/streaming_latency_tpu.py [--chunk 8] [--rounds 30]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dyadic_interaction_modeling_tpu.utils.compilation_cache import (
+    enable_persistent_cache,
+)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chunk", type=int, default=8)
+    parser.add_argument("--rounds", type=int, default=30)
+    parser.add_argument("--max-frames", type=int, default=1024)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    enable_persistent_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dyadic_interaction_modeling_tpu import config as C
+    from dyadic_interaction_modeling_tpu.models.slm import SLMFT
+    from dyadic_interaction_modeling_tpu.serving import StreamingListenerSession
+
+    slm_cfg = C.slm_defaults()
+    vq_cfg = C.vq_listener_defaults()
+    model = SLMFT(slm_cfg, vq_cfg, dtype=jnp.bfloat16)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = model.init(jax.random.PRNGKey(1),
+                        jax.random.normal(ks[0], (1, 8, 56)),
+                        jax.random.normal(ks[1], (1, 8, 56)),
+                        jax.random.normal(ks[2], (1, 8, 768)),
+                        jnp.ones((1, 8), dtype=bool),
+                        jax.random.PRNGKey(2))
+
+    c = args.chunk
+    sess = StreamingListenerSession(model, params, batch=1, chunk=c,
+                                    max_frames=args.max_frames,
+                                    max_tokens=args.max_frames)
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((1, c, 56), dtype=np.float32)
+    au = rng.standard_normal((1, c, 768), dtype=np.float32)
+
+    print(f"chunk={c} max_frames={args.max_frames} "
+          f"platform={jax.default_backend()} dtype=bf16 dims=reference(384/768)")
+    t0 = time.time(); sess.feed(sp, au)
+    print(f"feed compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); sess.start(np.zeros((1, 1), np.int32))
+    print(f"prompt compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); sess.generate(c)
+    print(f"generate({c}) compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); sess.generate(1)
+    print(f"generate(1) compile: {time.time() - t0:.1f}s")
+
+    rounds = []
+    singles = []
+    budget = args.max_frames // c - 2
+    for i in range(min(args.rounds, budget)):
+        t0 = time.perf_counter()
+        sess.feed(sp, au)
+        sess.generate(c)
+        rounds.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        sess.generate(1)
+        singles.append(time.perf_counter() - t0)
+    rounds.sort(); singles.sort()
+    n = len(rounds)
+    print(f"steady state over {n} rounds at context ~{sess.frames_fed} frames:")
+    print(f"  feed({c})+generate({c}) p50 {rounds[n // 2] * 1000:.1f} ms "
+          f"(min {rounds[0] * 1000:.1f}, max {rounds[-1] * 1000:.1f}) "
+          f"-> {rounds[n // 2] / c * 1000:.1f} ms/frame vs "
+          f"{1000 / 30 * c:.0f} ms real-time budget @30fps")
+    print(f"  generate(1) p50 {singles[n // 2] * 1000:.1f} ms "
+          f"(min {singles[0] * 1000:.1f}) [~25 ms is tunnel round-trip]")
+
+
+if __name__ == "__main__":
+    main()

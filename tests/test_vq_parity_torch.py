@@ -132,3 +132,37 @@ def test_decode_to_img_parity(ref_modules):
         out_ref = ref.decode_to_img(idx, zshape)
     out = model.apply(params, jnp.asarray(idx.numpy()), zshape, method=VQAutoEncoder.decode_to_img)
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_get_logit_decode_logit_parity(ref_modules):
+    """Deterministic branches of the sampling utilities match the reference;
+    the multinomial branch is checked for shape/validity (RNG streams differ).
+    Quirk pinned: top_p is accepted but never applied (stage1_BIWI.py:118-137)."""
+    from dyadic_interaction_modeling_tpu.models.vq_vae import get_logit
+
+    cfg = _ref_cfg_listener()
+    torch.manual_seed(4)
+    ref = ref_modules.VQAutoEncoder(_to_ref_args(cfg)).eval()
+    model = VQAutoEncoder(cfg, variant="BIWI")
+    params = torch_vq_to_flax(ref.state_dict(), cfg, variant="BIWI")
+
+    logits = torch.randn(2, 10, cfg.n_embed)
+    with torch.no_grad():
+        ix_ref, probs_ref = ref.get_logit(logits, sample=False)
+    ix, probs = get_logit(jax.random.PRNGKey(0), jnp.asarray(logits.numpy()),
+                          sample=False)
+    np.testing.assert_array_equal(np.asarray(ix), ix_ref.squeeze(-1).numpy())
+    np.testing.assert_allclose(np.asarray(probs), probs_ref.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+    ix_s, _ = get_logit(jax.random.PRNGKey(1), jnp.asarray(logits.numpy()))
+    assert ix_s.shape == (2, 10)
+    assert (np.asarray(ix_s) >= 0).all() and (np.asarray(ix_s) < cfg.n_embed).all()
+
+    zshape = (2, 10, cfg.zquant_dim)
+    with torch.no_grad():
+        out_ref = ref.decode_logit(logits, zshape)
+    out = model.apply(params, jnp.asarray(logits.numpy()), zshape,
+                      method=VQAutoEncoder.decode_logit)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=2e-4, atol=2e-4)
