@@ -25,6 +25,12 @@ def get_parser(description: str = " ", default_config: Optional[str] = None
     parser.add_argument("--prefetch", type=int, default=0,
                         help="background-thread batch prefetch depth "
                              "(data.loader.PrefetchLoader; 0 = off)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="multi-device training layout: 'auto' (DP over "
+                             "all devices), 'data=N', 'data=N,model=K' "
+                             "(DP x tensor parallel), 'fsdp[=N]' "
+                             "(params+moments sharded). Math-preserving; "
+                             "see parallel.MeshPlan")
     parser.add_argument("opts", help="KEY VALUE overrides", default=None,
                         nargs=argparse.REMAINDER)
     return parser

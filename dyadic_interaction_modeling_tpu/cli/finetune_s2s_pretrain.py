@@ -87,6 +87,12 @@ def main(argv=None):
                                weight_decay=args.weight_decay,
                                clip_norm=args.clip_norm,
                                frozen_substrings=SLMFT_FROZEN_SUBSTRINGS)
+    from ..parallel import MeshPlan
+
+    plan = MeshPlan.parse(getattr(args, "mesh", None))
+    if plan:
+        state = plan.shard_state(state)
+        logger.info(f"training on a {plan.describe()}")
     step = make_slm_train_step(model, with_vq_tokens=args.vq_token_cache)
     vq_cache = None
     if args.vq_token_cache:
@@ -114,6 +120,8 @@ def main(argv=None):
                                                   tok_params)
         else:
             batches = _batches(train_loader)
+        if plan:
+            batches = plan.batches(batches)
         state, logs = train_epoch(state, batches, step, sub,
                                   epoch=epoch, logger=logger)
         rng, sub = jax.random.split(rng)

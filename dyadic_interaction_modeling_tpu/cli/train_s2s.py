@@ -55,6 +55,12 @@ def _main_continuous(args, cfg, logger):
     state = create_train_state(model, params, args.lr,
                                weight_decay=args.weight_decay,
                                clip_norm=args.clip_norm)
+    from ..parallel import MeshPlan
+
+    plan = MeshPlan.parse(getattr(args, "mesh", None))
+    if plan:
+        state = plan.shard_state(state)
+        logger.info(f"training on a {plan.describe()}")
     step = make_continuous_train_step(model)
     save_dir = args.save_path or "./runs_s2s_cont/model"
     keeper = BestCheckpointKeeper(save_dir)
@@ -64,7 +70,8 @@ def _main_continuous(args, cfg, logger):
     for epoch in range(cfg.get_or("epochs", 10)):
         train_loader.set_epoch(epoch)
         state, train_loss = train_continuous_epoch(
-            state, cbatches(train_loader), step, epoch=epoch, logger=logger)
+            state, plan.batches(cbatches(train_loader)) if plan
+            else cbatches(train_loader), step, epoch=epoch, logger=logger)
         val = evaluate_continuous_epoch(state.params, model,
                                         cbatches(val_loader))
         logger.info(f"Epoch {epoch}: val MSE {val:.5f}")
@@ -112,6 +119,12 @@ def main(argv=None):
                                weight_decay=args.weight_decay,
                                clip_norm=args.clip_norm,
                                frozen_substrings=LG_FROZEN)
+    from ..parallel import MeshPlan
+
+    plan = MeshPlan.parse(getattr(args, "mesh", None))
+    if plan:
+        state = plan.shard_state(state)
+        logger.info(f"training on a {plan.describe()}")
 
     def loss_fn(p, batch, use_ids):
         src, tgt, mask, sp, li = batch
@@ -132,7 +145,9 @@ def main(argv=None):
     epochs = cfg.get_or("epochs", 10)
     for epoch in range(epochs):
         train_loader.set_epoch(epoch)
-        for batch in _batches(train_loader):
+        train_batches = (plan.batches(_batches(train_loader)) if plan
+                         else _batches(train_loader))
+        for batch in train_batches:
             state, loss = step(state, batch)
         val_losses = [float(loss_fn(state.params, b, args.use_ids))
                       for b in _batches(val_loader)]

@@ -104,6 +104,12 @@ def main(argv=None):
         weight_decay = 0.01
     state = create_train_state(model, params, cfg.base_lr,
                                weight_decay=weight_decay)
+    from ..parallel import MeshPlan
+
+    plan = MeshPlan.parse(getattr(args, "mesh", None))
+    if plan:
+        state = plan.shard_state(state)
+        logger.info(f"training on a {plan.describe()}")
     step = make_vq_train_step(model, cfg.get_or("quant_loss_weight", 1.0),
                               audio_visual)
     eval_step = make_vq_eval_step(model, cfg.get_or("quant_loss_weight", 1.0),
@@ -119,7 +125,9 @@ def main(argv=None):
     steps_per_epoch = len(train_ds) // max(1, cfg.get_or("batch_size", 1))
     for epoch in range(cfg.epochs):
         train_loader.set_epoch(epoch)
-        state, metrics = train_epoch(state, train_loader, step, epoch=epoch,
+        state, metrics = train_epoch(state,
+                                     plan.batches(train_loader) if plan
+                                     else train_loader, step, epoch=epoch,
                                      print_freq=cfg.get_or("print_freq", 500),
                                      logger=logger, writer=writer,
                                      step_offset=epoch * steps_per_epoch,

@@ -1,3 +1,4 @@
+from .plan import MeshPlan
 from .mesh import (
     make_mesh,
     shard_batch,
@@ -12,6 +13,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "MeshPlan",
     "make_mesh",
     "shard_batch",
     "replicate",
