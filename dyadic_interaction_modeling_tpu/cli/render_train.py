@@ -68,6 +68,10 @@ def main(argv=None):
     parser.add_argument("--speed-benchmark", action="store_true",
                         help="log per-iteration data/step timing averages "
                              "(trainers/base.py:82-87,330-358)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="data-parallel training mesh: 'auto' or "
+                             "'data=N' (parallel.MeshPlan; the reference "
+                             "trains PIRender under DDP)")
     args = parser.parse_args(argv)
     logger = setup(args)
 
@@ -106,6 +110,13 @@ def main(argv=None):
                           logger=logger)
     if trainer.load_latest():
         logger.info(f"resumed from iteration {trainer.iteration}")
+    from ..parallel import MeshPlan
+
+    plan = MeshPlan.parse(args.mesh)
+    if plan:
+        trainer.shard_with(plan)
+        logger.info(f"training on a {plan.describe()}")
+
     def batches():
         # fresh generator (and prefetch wrap) per epoch: ds.batches is
         # single-use, and max_epochs > 1 would otherwise iterate an
@@ -115,6 +126,8 @@ def main(argv=None):
             from ..data.loader import PrefetchLoader
 
             b = PrefetchLoader(b, depth=args.prefetch)
+        if plan:
+            b = plan.batches(b)
         return b
 
     if args.debug:

@@ -93,6 +93,21 @@ class FaceTrainer:
                          perceptual_network=perceptual_network))
         self._ema_forward = None
 
+    def shard_with(self, plan) -> None:
+        """Data-parallel training over a mesh (parallel.plan.MeshPlan):
+        params/EMA/moments replicated, batches arrive data-sharded, XLA
+        all-reduces the gradients - the reference's DDP wrap
+        (Pirender/util/trainer.py:71-78). Call after ``load_latest``."""
+        if plan.layout != "dp":
+            raise ValueError("render trainer supports data-parallel --mesh "
+                             "layouts only (the 23M-param generator gains "
+                             "nothing from param sharding)")
+        from ..parallel.mesh import replicate
+
+        self.params = replicate(plan.mesh, self.params)
+        self.ema_params = replicate(plan.mesh, self.ema_params)
+        self.opt_state = replicate(plan.mesh, self.opt_state)
+
     # --- jitted steps (one per stage) ---
 
     def _make_step(self, stage: str) -> Callable:

@@ -84,3 +84,17 @@ def test_cli_train_s2s_pretrain_mesh_smoke(tmp_path):
         "dec_heads", "2", "num_tokens", "24",
     ])
     assert keeper.best is not None and np.isfinite(keeper.best)
+
+
+def test_cli_render_train_mesh_dp_smoke(tmp_path):
+    """PIRender training under --mesh (the reference trains it DDP)."""
+    from dyadic_interaction_modeling_tpu.cli import render_train
+
+    trainer = render_train.main([
+        "--synthetic", "--save-path", str(tmp_path), "--perceptual", "l1",
+        "--steps-per-epoch", "2", "--max-epochs", "1", "--batch-size", "4",
+        "--resolution", "32", "--mesh", "data=4"])
+    assert trainer.iteration == 2
+    with pytest.raises(ValueError, match="data-parallel"):
+        from dyadic_interaction_modeling_tpu.parallel import MeshPlan as MP
+        trainer.shard_with(MP.parse("fsdp"))
