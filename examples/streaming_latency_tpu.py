@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--chunk", type=int, default=8)
     parser.add_argument("--rounds", type=int, default=30)
     parser.add_argument("--max-frames", type=int, default=1024)
+    parser.add_argument("--batch", type=int, default=1,
+                        help="concurrent sessions in lockstep (a serving "
+                             "host batches many live dyadic streams)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -63,18 +66,19 @@ def main(argv=None):
                         jax.random.PRNGKey(2))
 
     c = args.chunk
-    sess = StreamingListenerSession(model, params, batch=1, chunk=c,
+    b = args.batch
+    sess = StreamingListenerSession(model, params, batch=b, chunk=c,
                                     max_frames=args.max_frames,
                                     max_tokens=args.max_frames)
     rng = np.random.default_rng(0)
-    sp = rng.standard_normal((1, c, 56), dtype=np.float32)
-    au = rng.standard_normal((1, c, 768), dtype=np.float32)
+    sp = rng.standard_normal((b, c, 56), dtype=np.float32)
+    au = rng.standard_normal((b, c, 768), dtype=np.float32)
 
-    print(f"chunk={c} max_frames={args.max_frames} "
+    print(f"chunk={c} batch={b} max_frames={args.max_frames} "
           f"platform={jax.default_backend()} dtype=bf16 dims=reference(384/768)")
     t0 = time.time(); sess.feed(sp, au)
     print(f"feed compile: {time.time() - t0:.1f}s")
-    t0 = time.time(); sess.start(np.zeros((1, 1), np.int32))
+    t0 = time.time(); sess.start(np.zeros((b, 1), np.int32))
     print(f"prompt compile: {time.time() - t0:.1f}s")
     t0 = time.time(); sess.generate(c)
     print(f"generate({c}) compile: {time.time() - t0:.1f}s")
@@ -101,6 +105,11 @@ def main(argv=None):
           f"{1000 / 30 * c:.0f} ms real-time budget @30fps")
     print(f"  generate(1) p50 {singles[n // 2] * 1000:.1f} ms "
           f"(min {singles[0] * 1000:.1f}) [~25 ms is tunnel round-trip]")
+    if b > 1:
+        per_round = rounds[n // 2]
+        print(f"  serving throughput: {b} lockstep sessions x {c} frames / "
+              f"{per_round * 1000:.1f} ms = {b * c / per_round:,.0f} "
+              f"generated frames/s (+ equal context frames ingested)")
 
 
 if __name__ == "__main__":
