@@ -1,5 +1,6 @@
 """Production serving layer (streaming sessions over the SLM family)."""
 
+from .pool import StreamingSessionPool
 from .streaming import StreamingListenerSession
 
-__all__ = ["StreamingListenerSession"]
+__all__ = ["StreamingListenerSession", "StreamingSessionPool"]
