@@ -108,16 +108,21 @@ class ADAINDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, z: Array, train: bool = False) -> Array:
+        # torch ConvTranspose2d(k=3, s=2, padding=1, output_padding=1)
+        # (base_function.py:120) == explicit transpose padding (k-1-p, k-1-p+op)
+        # = (1, 2); flax's "SAME" is a DIFFERENT pad layout (verified vs torch
+        # in tests/test_render_import.py).
+        tpad = ((1, 2), (1, 2))
         # shortcut: ADAIN -> act -> transposed conv x2
         s = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_s")(x, z)
-        s = _sn(nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
+        s = _sn(nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding=tpad,
                                  dtype=self.dtype, name="conv_s"),
                 self.use_spect, LRELU(s), train)
         h = ADAIN(x.shape[-1], dtype=self.dtype, name="norm_0")(x, z)
         h = _sn(_conv(self.hidden_nc, 3, 1, "SAME", "conv_0", self.dtype),
                 self.use_spect, LRELU(h), train)
         h = ADAIN(self.hidden_nc, dtype=self.dtype, name="norm_1")(h, z)
-        h = _sn(nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding="SAME",
+        h = _sn(nn.ConvTranspose(self.out_nc, (3, 3), strides=(2, 2), padding=tpad,
                                  dtype=self.dtype, name="conv_1"),
                 self.use_spect, LRELU(h), train)
         return s + h
