@@ -25,7 +25,10 @@ schedule - live self-cache slices + shared cross K/V + weight reads - over
 measured time vs the v5e's 819 GB/s paper peak; the platform's measured
 bf16 streaming ceiling is ~360 GB/s, PERF.md), and
 ``vs_cpu_reference_b1_l64`` (the reference algorithm - full re-forward per
-token - on host CPU fp32, kept for continuity and clearly labeled). All
+token - on host CPU fp32, kept for continuity and clearly labeled),
+``train_step_*`` (SLM pretrain step throughput + MFU - training-perf
+regressions driver-visible), and ``serving_*`` (128 lockstep streaming
+sessions, real-time round check - serving-layer regressions visible). All
 baselines are self-measured (the repo publishes no numbers, BASELINE.md) and
 cached in ``bench_baseline.json``.
 """
@@ -287,6 +290,40 @@ def measure_train_step() -> dict:
     return out
 
 
+def measure_serving(model, params) -> dict:
+    """Live-serving capacity (round 3): 128 concurrent real-time dyadic
+    streams in lockstep through serving.StreamingListenerSession - one
+    feed(8)+generate(8) round must fit the 267 ms budget a 30 fps stream
+    allows per 8-frame chunk (PERF.md 'Streaming serving'). Shapes match
+    examples/streaming_latency_tpu.py --batch 128 so the persistent
+    compile cache is shared."""
+    import numpy as np
+
+    from dyadic_interaction_modeling_tpu.serving import StreamingListenerSession
+
+    b, c = 128, 8
+    sess = StreamingListenerSession(model, params, batch=b, chunk=c,
+                                    max_frames=1024, max_tokens=1024)
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((b, c, 56), dtype=np.float32)
+    au = rng.standard_normal((b, c, 768), dtype=np.float32)
+    sess.feed(sp, au)                       # compile
+    sess.start(np.zeros((b, 1), np.int32))  # compile
+    sess.generate(c)                        # compile
+    rounds = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        sess.feed(sp, au)
+        sess.generate(c)
+        rounds.append(time.perf_counter() - t0)
+    rounds.sort()
+    p50 = rounds[len(rounds) // 2]
+    return {"serving_sessions": b,
+            "serving_round_ms_p50": round(p50 * 1e3, 1),
+            "serving_realtime": p50 <= c / 30.0,
+            "serving_frames_per_sec": round(b * c / p50, 1)}
+
+
 def decode_hbm_traffic_bytes(params, slm_cfg, b0, n, l, chunk,
                              bytes_per=2) -> int:
     """Analytic HBM traffic of the grouped+chunked decode schedule:
@@ -367,6 +404,7 @@ def main():
         "SLMFT full dims, B=1 L=64", cpu_ref)
 
     train = measure_train_step()
+    serving = measure_serving(model, params)
 
     traffic = decode_hbm_traffic_bytes(params, slm_cfg, B0, N, L, CHUNK)
     achieved_bw = traffic / (B0 * N * (L - 1) / fps)
@@ -381,6 +419,7 @@ def main():
         "hbm_roofline_fraction": round(achieved_bw / V5E_HBM_PEAK, 3),
         "vs_cpu_reference_b1_l64": round(fps / cpu_fps, 2),
         **train,
+        **serving,
     }))
 
 

@@ -72,10 +72,26 @@ class StreamingSessionPool:
                  chunk: int = 8, max_frames: int = 1024,
                  max_tokens: Optional[int] = None,
                  temperature: float = 1.0, filter_frac: float = 0.1,
-                 greedy: bool = False):
+                 greedy: bool = False, mesh=None):
         c = model.cfg
         self.model = model
         self.params = params
+        self.mesh = mesh
+        if mesh is not None:
+            # Pool slots are fully independent - sharding the pool axis over
+            # the mesh's 'data' axis needs ZERO collectives, so serving
+            # capacity scales linearly with chips (tests/test_pool.py pins
+            # sharded == unsharded token-for-token on the CPU mesh).
+            from ..parallel.mesh import data_sharding, replicate
+
+            if capacity % mesh.shape["data"] != 0:
+                raise ValueError("capacity must divide evenly over the mesh's "
+                                 f"data axis ({mesh.shape['data']} devices)")
+            self.params = replicate(mesh, params)
+            self._put = lambda x: jax.device_put(
+                x, data_sharding(mesh, np.ndim(x)))
+        else:
+            self._put = jnp.asarray
         self.capacity = capacity
         self.chunk = chunk
         self.max_frames = max_frames
@@ -98,6 +114,11 @@ class StreamingSessionPool:
                                        dtype=dt)
         self._logits = jnp.zeros((P, c.num_tokens), jnp.float32)
         self._keys = jnp.stack([jax.random.PRNGKey(0)] * P)
+        if mesh is not None:
+            (self._enc_s, self._enc_j, self._cross, self._dec, self._logits,
+             self._keys) = jax.tree_util.tree_map(
+                self._put, (self._enc_s, self._enc_j, self._cross, self._dec,
+                            self._logits, self._keys))
 
         # host-authoritative per-slot progress
         self._t_ctx = np.zeros(P, np.int32)
@@ -155,7 +176,8 @@ class StreamingSessionPool:
                 new_logits, d1 = model.apply(
                     params, prompt[None, i: i + 1], d1, t + i, kv, mask,
                     method=SLMFT.stream_decode_step)
-                new_logits = new_logits[0]
+                # carry logits in f32 (sampling is f32; model may be bf16)
+                new_logits = new_logits[0].astype(jnp.float32)
             return ({k: v[0] for k, v in d1.items()},
                     jnp.where(act, new_logits, logits))
 
@@ -180,7 +202,7 @@ class StreamingSessionPool:
                 new_logits, d1 = model.apply(
                     params, tok[:, None], d1, t, kv, mask,
                     method=SLMFT.stream_decode_step)
-                return (new_logits[0], d1, key, t + 1), tok[0]
+                return (new_logits[0].astype(jnp.float32), d1, key, t + 1), tok[0]
 
             (new_logits, d1, new_key, _), toks = jax.lax.scan(
                 body, (logits, d1, key, t), None, length=n)
@@ -211,7 +233,8 @@ class StreamingSessionPool:
         self._t_ctx[slot] = 0
         self._t_dec[slot] = 0
         self._tokens[slot] = []
-        self._keys = self._keys.at[slot].set(jax.random.PRNGKey(seed))
+        self._keys = self._put(
+            self._keys.at[slot].set(jax.random.PRNGKey(seed)))
         return slot
 
     def leave(self, slot: int) -> None:
@@ -266,8 +289,8 @@ class StreamingSessionPool:
         t = np.where(act, self._t_ctx, self.max_frames).astype(np.int32)
         self._enc_s, self._enc_j, self._cross = self._feed_fn(
             self.params, self._enc_s, self._enc_j, self._cross,
-            jnp.asarray(t), jnp.asarray(sp_buf, self.model.dtype),
-            jnp.asarray(au_buf, self.model.dtype))
+            self._put(t), self._put(sp_buf.astype(self.model.dtype)),
+            self._put(au_buf.astype(self.model.dtype)))
         self._t_ctx[slots] += nv
 
     def start(self, slots: Sequence[int], prompts) -> None:
@@ -288,8 +311,8 @@ class StreamingSessionPool:
         t = np.where(act, self._t_dec, self.max_tokens).astype(np.int32)
         self._dec, self._logits = self._prompt_fn(
             self.params, prompts.shape[1], self._dec, self._cross,
-            jnp.asarray(self._t_ctx), jnp.asarray(t), self._logits,
-            jnp.asarray(act), jnp.asarray(buf))
+            self._put(self._t_ctx), self._put(t), self._logits,
+            self._put(act), self._put(buf))
         self._t_dec[slots] += prompts.shape[1]
         self._started[slots] = True
 
@@ -306,8 +329,8 @@ class StreamingSessionPool:
         act[slots] = True
         t = np.where(act, self._t_dec, self.max_tokens).astype(np.int32)
         self._dec, self._logits, self._keys, toks = self._generate_fn(
-            self.params, n, self._dec, self._cross, jnp.asarray(self._t_ctx),
-            jnp.asarray(t), self._logits, self._keys, jnp.asarray(act))
+            self.params, n, self._dec, self._cross, self._put(self._t_ctx),
+            self._put(t), self._logits, self._keys, self._put(act))
         toks = np.asarray(toks)[slots]                    # (n_slots, n)
         for row, slot in enumerate(slots):
             self._tokens[slot].append(toks[row])

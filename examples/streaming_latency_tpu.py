@@ -38,6 +38,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=1,
                         help="concurrent sessions in lockstep (a serving "
                              "host batches many live dyadic streams)")
+    parser.add_argument("--pool", action="store_true",
+                        help="drive StreamingSessionPool instead of the "
+                             "lockstep session: --batch slots at mixed "
+                             "context lengths with one leave+join per round "
+                             "(continuous batching)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -67,6 +72,9 @@ def main(argv=None):
 
     c = args.chunk
     b = args.batch
+    if args.pool:
+        _run_pool(args, model, params, jax, np)
+        return
     sess = StreamingListenerSession(model, params, batch=b, chunk=c,
                                     max_frames=args.max_frames,
                                     max_tokens=args.max_frames)
@@ -110,6 +118,57 @@ def main(argv=None):
         print(f"  serving throughput: {b} lockstep sessions x {c} frames / "
               f"{per_round * 1000:.1f} ms = {b * c / per_round:,.0f} "
               f"generated frames/s (+ equal context frames ingested)")
+
+
+def _run_pool(args, model, params, jax, np):
+    """Continuous-batching measurement: --batch pool slots, every round all
+    slots feed+generate one chunk AND one stream ends while a fresh caller
+    joins at context 0 - so steady state holds genuinely mixed context
+    lengths (the workload the lockstep session cannot express). A round is
+    3 device calls (feed / start-the-newcomer / generate) vs lockstep's 2 -
+    ~25 ms extra tunnel floor on this platform."""
+    from dyadic_interaction_modeling_tpu.serving import StreamingSessionPool
+
+    b, c = args.batch, args.chunk
+    pool = StreamingSessionPool(model, params, capacity=b, chunk=c,
+                                max_frames=args.max_frames,
+                                max_tokens=args.max_frames)
+    rng = np.random.default_rng(0)
+    sp = rng.standard_normal((b, c, 56), dtype=np.float32)
+    au = rng.standard_normal((b, c, 768), dtype=np.float32)
+    slots = [pool.join(seed=i) for i in range(b)]
+    print(f"pool capacity={b} chunk={c} max_frames={args.max_frames} "
+          f"platform={jax.default_backend()} dtype=bf16 dims=reference(384/768)")
+    t0 = time.time(); pool.feed(slots, sp, au)
+    print(f"feed compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); pool.start(slots, np.zeros((b, 1), np.int32))
+    print(f"prompt compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); pool.generate(slots, c)
+    print(f"generate({c}) compile: {time.time() - t0:.1f}s")
+
+    rounds = []
+    budget = args.max_frames // c - 2
+    for i in range(min(args.rounds, budget)):
+        t0 = time.perf_counter()
+        pool.feed(slots, sp, au)
+        victim = i % b
+        pool.leave(slots[victim])
+        slots[victim] = pool.join(seed=1000 + i)
+        pool.feed([slots[victim]], sp[:1], au[:1])
+        pool.start([slots[victim]], np.zeros((1, 1), np.int32))
+        pool.generate(slots, c)
+        rounds.append(time.perf_counter() - t0)
+    rounds.sort()
+    n = len(rounds)
+    lens = [pool.frames_fed(s) for s in slots]
+    print(f"steady state over {n} churn rounds (context lengths now "
+          f"{min(lens)}..{max(lens)} frames):")
+    print(f"  feed+churn+generate p50 {rounds[n // 2] * 1000:.1f} ms "
+          f"(min {rounds[0] * 1000:.1f}, max {rounds[-1] * 1000:.1f}) vs "
+          f"{1000 / 30 * c:.0f} ms real-time budget @30fps")
+    print(f"  pool throughput: {b} mixed-length sessions x {c} frames / "
+          f"{rounds[n // 2] * 1000:.1f} ms = "
+          f"{b * c / rounds[n // 2]:,.0f} generated frames/s")
 
 
 if __name__ == "__main__":

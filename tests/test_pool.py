@@ -135,6 +135,58 @@ def test_slot_reuse_after_leave():
     np.testing.assert_array_equal(pool.tokens(b), solo)
 
 
+def test_pool_sharded_over_mesh_matches_unsharded():
+    """Pool slots are independent, so sharding the pool axis over a device
+    mesh ('data' axis) must be exact with ZERO collectives - serving
+    capacity scales linearly with chips."""
+    from dyadic_interaction_modeling_tpu.parallel.mesh import make_mesh
+
+    model, params, v_s, _, v_a, _ = _slmft_and_inputs()
+    sp = np.concatenate([np.asarray(v_s)] * 2)      # 4 streams
+    au = np.concatenate([np.asarray(v_a)] * 2)
+
+    def run(mesh):
+        pool = StreamingSessionPool(model, params, capacity=4, chunk=4,
+                                    max_frames=16, max_tokens=16, mesh=mesh)
+        slots = [pool.join(seed=i) for i in range(4)]
+        pool.feed(slots, sp[:, 0:4], au[:, 0:4])
+        pool.feed(slots[:2], sp[:2, 4:8], au[:2, 4:8])   # staggered lengths
+        pool.start(slots, np.zeros((4, 1), np.int32))
+        pool.generate(slots, 5)
+        pool.generate(slots[2:], 3)
+        return np.stack([pool.tokens(s)[:5] for s in slots])
+
+    mesh = make_mesh(devices=jax.devices()[:4])
+    np.testing.assert_array_equal(run(mesh), run(None))
+
+
+def test_pool_bf16_model():
+    """The production pool runs bf16; the per-slot logits/RNG carries must
+    hold their dtypes across the scan (regression: bf16 decode logits were
+    carried into an f32 slot buffer -> scan carry type error)."""
+    import jax.numpy as jnp
+
+    from dyadic_interaction_modeling_tpu.models.slm import SLMFT
+    from tests.test_streaming import _tiny_cfgs
+
+    slm_cfg, vq_cfg = _tiny_cfgs()
+    model = SLMFT(slm_cfg, vq_cfg, dtype=jnp.bfloat16)
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    v_s = jax.random.normal(ks[0], (1, 8, 56))
+    v_l = jax.random.normal(ks[1], (1, 8, 56))
+    v_a = jax.random.normal(ks[2], (1, 8, 16))
+    params = model.init(ks[3], v_s, v_l, v_a, jnp.ones((1, 8), bool),
+                        jax.random.PRNGKey(2))
+    pool = StreamingSessionPool(model, params, capacity=2, chunk=4,
+                                max_frames=8, max_tokens=8)
+    a = pool.join(seed=1)
+    pool.feed([a], np.asarray(v_s[:, :4]), np.asarray(v_a[:, :4]))
+    pool.start([a], np.zeros((1, 1), np.int32))
+    toks = pool.generate([a], 4)
+    assert toks.shape == (1, 4)
+    assert (toks >= 0).all() and (toks < slm_cfg.num_tokens).all()
+
+
 def test_pool_guards():
     model, params, v_s, _, v_a, _ = _slmft_and_inputs()
     pool = StreamingSessionPool(model, params, capacity=2, chunk=4,
