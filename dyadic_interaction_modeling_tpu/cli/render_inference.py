@@ -53,6 +53,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="PIRender inference")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="FaceTrainer checkpoint (uses net_G_ema)")
+    parser.add_argument("--torch-checkpoint", type=str, default=None,
+                        help="reference PIRender torch checkpoint "
+                             "(.pt with net_G_ema/net_G, trainers/base.py "
+                             "layout) - imported via render.import_torch")
     parser.add_argument("--source-image", type=str, default=None)
     parser.add_argument("--coeff-dir", type=str, default=None)
     parser.add_argument("--out", type=str, default="./render_out")
@@ -71,14 +75,37 @@ def main(argv=None):
 
     coeffs = load_coeff_dir_clip(args.coeff_dir)
     coeff_nc = coeffs.shape[-1]  # 56 (pose+exp) or 58+ with cam/shape merged
-    model = FaceGenerator(flame_coeff_nc=coeff_nc, coeff_nc=73,
-                          descriptor_nc=32 if args.synthetic else 256,
-                          mapping_layers=2 if args.synthetic else 3)
     src = _load_source_image(args.source_image, args.resolution)
-    if args.checkpoint:
+    if args.torch_checkpoint:
+        # reference checkpoint layout: {'net_G': sd, 'net_G_ema': sd, ...}
+        # (Pirender/trainers/base.py save); inference uses the EMA weights
+        import torch
+
+        from ..render.import_torch import torch_face_generator_to_flax
+
+        payload = torch.load(args.torch_checkpoint, map_location="cpu",
+                             weights_only=False)
+        sd = payload
+        if isinstance(payload, dict) and not any(
+                k.startswith("mapping_net") for k in payload):
+            sd = payload.get("net_G_ema") or payload.get("net_G") or payload
+        params = torch_face_generator_to_flax(sd)
+        # model dims follow the checkpoint, not the CLI flags
+        ckpt_nc = params["mapping_net"]["pre"]["kernel"].shape[1]
+        if ckpt_nc != coeff_nc:
+            logger.warning(f"coefficient dim mismatch: checkpoint expects "
+                           f"{ckpt_nc}, data has {coeff_nc}")
+        model = FaceGenerator(flame_coeff_nc=ckpt_nc, coeff_nc=73)
+    elif args.checkpoint:
+        model = FaceGenerator(flame_coeff_nc=coeff_nc, coeff_nc=73,
+                              descriptor_nc=32 if args.synthetic else 256,
+                              mapping_layers=2 if args.synthetic else 3)
         payload = load_checkpoint(args.checkpoint)["params"]
         params = payload.get("net_G_ema", payload)
     else:
+        model = FaceGenerator(flame_coeff_nc=coeff_nc, coeff_nc=73,
+                              descriptor_nc=32 if args.synthetic else 256,
+                              mapping_layers=2 if args.synthetic else 3)
         dummy_sem = np.zeros((1, coeff_nc, 2 * args.semantic_radius + 1),
                              np.float32)
         params = model.init(jax.random.PRNGKey(0), src[None], dummy_sem)["params"]

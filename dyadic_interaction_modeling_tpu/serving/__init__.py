@@ -1,6 +1,8 @@
 """Production serving layer (streaming sessions over the SLM family)."""
 
+from .audio import StreamingAudioFrontend
 from .pool import StreamingSessionPool
 from .streaming import StreamingListenerSession
 
-__all__ = ["StreamingListenerSession", "StreamingSessionPool"]
+__all__ = ["StreamingAudioFrontend", "StreamingListenerSession",
+           "StreamingSessionPool"]

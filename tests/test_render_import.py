@@ -124,6 +124,33 @@ def test_spectral_norm_checkpoint_resolves_effective_weight():
     np.testing.assert_allclose(got, ref["fake_image"], rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_render_inference_cli_torch_checkpoint(tmp_path):
+    """render_inference --torch-checkpoint consumes a reference-layout .pt
+    (synthesized here via the exporter) and renders frames with the imported
+    weights - the reference-user path: released renderer -> TPU inference."""
+    import jax
+
+    from dyadic_interaction_modeling_tpu.cli.render_inference import main
+
+    model = FaceGenerator(flame_coeff_nc=56, coeff_nc=73)
+    rng = np.random.RandomState(0)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32)),
+        jnp.asarray(rng.randn(1, 56, 27).astype(np.float32)))["params"]
+    sd = flax_face_generator_to_torch(params)
+    ckpt = str(tmp_path / "ref_checkpoint.pt")
+    torch.save({"net_G_ema": {k: torch.from_numpy(v.copy())
+                              for k, v in sd.items()}}, ckpt)
+
+    out = main(["--torch-checkpoint", ckpt, "--synthetic",
+                "--out", str(tmp_path / "out"), "--resolution", "64"])
+    assert out["fake_image"].shape[0] == 6
+    assert (tmp_path / "out" / "fake" / "00000.png").exists()
+    assert (tmp_path / "out" / "warp" / "00000.png").exists()
+
+
 def test_strict_key_accounting():
     sd = {"mapping_net.pre.weight": np.zeros((73, 58, 1), np.float32)}
     with pytest.raises(KeyError, match="missing key"):
