@@ -167,6 +167,18 @@ class _SLMBase(CfgModule):
         z_l = jnp.where(pos_l < lengths[:, None], idx_l, IGNORE)
         return z_s, z_l
 
+    # --- shared streaming decode support (serving/ drives these) ---
+
+    def stream_cross_kv(self, ctx_chunk):
+        """Per-decoder-layer (k, v) projections of a context chunk - linear
+        per position, so appending chunks equals ``decoder_joint.cross_kv``
+        of the full context."""
+        return self.decoder_joint.cross_kv(ctx_chunk)
+
+    def stream_decode_step(self, token, cache, t, cross_kv, context_mask):
+        return self.decoder_joint.decode_step(token, cache, t, cross_kv,
+                                              context_mask)
+
 
 class SLM(_SLMBase):
     """Dyadic masked pretraining model (seq2seq_pretrain.py:72-323)."""
@@ -360,16 +372,6 @@ class SLMFT(_SLMBase):
                               axis=-1)
         return ctx, enc_s_cache, enc_j_cache
 
-    def stream_cross_kv(self, ctx_chunk):
-        """Per-decoder-layer (k, v) projections of a context chunk - linear
-        per position, so appending chunks equals ``decoder_joint.cross_kv``
-        of the full context."""
-        return self.decoder_joint.cross_kv(ctx_chunk)
-
-    def stream_decode_step(self, token, cache, t, cross_kv, context_mask):
-        return self.decoder_joint.decode_step(token, cache, t, cross_kv,
-                                              context_mask)
-
     def tokenize_listener_frames(self, v_listener):
         """Frame-rate listener codes for building a streaming prompt
         (z_l[:, 0] equivalent when only the first frames are known)."""
@@ -472,6 +474,36 @@ class SpeakerSLMFT(_SLMBase):
         ctx = jnp.concatenate([x_l + self.patch_embed_dec_l, v_audio], axis=-1)
         prompt = jnp.maximum(z_s_emoca[:, :1], 0)
         return ctx, prompt
+
+    # --- streaming serving support (serving/speaker.py drives these) ---
+    # Unlike SLMFT, the speaker context has NO temporal mixing: each frame's
+    # context row is speaker_embed + that frame's audio features
+    # (seq2seq_pretrain.py:699-704) - so streaming is exact by construction.
+
+    def stream_speaker_context(self, v_audio_chunk, speaker_ids=None):
+        """Per-frame decoder-context chunk == rows of ``encode_context``'s
+        ctx for the same frames."""
+        b, cl = v_audio_chunk.shape[0], v_audio_chunk.shape[1]
+        if speaker_ids is None:
+            x_l = jnp.zeros((b, cl, self.cfg.dim), dtype=self.dtype)
+        else:
+            x_l = jnp.repeat(self.speaker_embed(speaker_ids)[:, None, :],
+                             cl, axis=1)
+        return jnp.concatenate([x_l + self.patch_embed_dec_l, v_audio_chunk],
+                               axis=-1)
+
+    def tokenize_emoca_frames(self, v_emoca):
+        """EMOCA-frame codes for building a streaming prompt (the z_s_emoca
+        [:, :1] equivalent when only the first frames are known)."""
+        idx = self.speaker_vq.encode_indices(v_emoca)
+        return jnp.maximum(idx, 0)
+
+    def stream_decode_emoca(self, tokens, template):
+        """Codes -> (mesh, emoca) for a live stream; the BiLSTM mesh head is
+        BIDIRECTIONAL over the prefix (like the VQ decode), so production
+        streams re-decode a trailing window as codes accumulate."""
+        mesh, emoca = self.decode_emoca(tokens, from_logits=False)
+        return mesh + template[:, None, :], emoca
 
 
 class MeshHead(nn.Module):

@@ -2,7 +2,8 @@
 
 from .audio import StreamingAudioFrontend
 from .pool import StreamingSessionPool
+from .speaker import StreamingSpeakerSession
 from .streaming import StreamingListenerSession
 
 __all__ = ["StreamingAudioFrontend", "StreamingListenerSession",
-           "StreamingSessionPool"]
+           "StreamingSessionPool", "StreamingSpeakerSession"]
