@@ -317,8 +317,8 @@ class SLMFT(_SLMBase):
     def forward_vq_decoder_train(self, logits_l):
         return self.listener_vq.decode_indices(jnp.argmax(logits_l, axis=-1))
 
-    def decode_tokens_to_motion(self, tokens):
-        return self.listener_vq.decode_indices(tokens)
+    def decode_tokens_to_motion(self, tokens, lengths=None):
+        return self.listener_vq.decode_indices(tokens, lengths=lengths)
 
     def __call__(self, v_speaker, v_listener, v_audio, valid_mask, rng=None,
                  mode: str = "train", vq_tokens=None) -> SLMOutputs:

@@ -209,11 +209,17 @@ class VQAutoEncoder(CfgModule):
             lengths = lengths // self.cfg.face_quan_num  # frame-level lengths
         return self.decoder(h, deterministic=deterministic, lengths=lengths)
 
-    def decode_indices(self, indices: Array, deterministic: bool = True) -> Array:
-        """(B, L*fq) codes -> motion, via codebook lookup + decode."""
+    def decode_indices(self, indices: Array, deterministic: bool = True,
+                       lengths: Optional[Array] = None) -> Array:
+        """(B, L*fq) codes -> motion, via codebook lookup + decode.
+
+        ``lengths`` (token-level, (B,)) enables the per-sample-equivalent
+        masked decode: padded tail codes never influence the valid prefix
+        (serving decodes fixed-capacity buffers this way)."""
         z_q = self.quantize.get_codebook_entry(indices.reshape(-1), shape=None)
         z_q = z_q.reshape(indices.shape[0], indices.shape[1], -1)
-        return self.decode(jnp.transpose(z_q, (0, 2, 1)), deterministic=deterministic)
+        return self.decode(jnp.transpose(z_q, (0, 2, 1)),
+                           deterministic=deterministic, lengths=lengths)
 
     def decode_feats(self, quant_bcl: Array, deterministic: bool = True) -> Array:
         h = _unfold_codes(quant_bcl, self.cfg.face_quan_num, self.cfg.zquant_dim)

@@ -1,9 +1,19 @@
 """Production serving layer (streaming sessions over the SLM family)."""
 
 from .audio import StreamingAudioFrontend
+from .avatar import (
+    StreamingAvatarPipeline,
+    StreamingCoeffDecoder,
+    StreamingRenderer,
+    StreamingSemanticWindower,
+    StreamingSmoother,
+)
 from .pool import StreamingSessionPool
 from .speaker import StreamingSpeakerSession
 from .streaming import StreamingListenerSession
 
-__all__ = ["StreamingAudioFrontend", "StreamingListenerSession",
-           "StreamingSessionPool", "StreamingSpeakerSession"]
+__all__ = ["StreamingAudioFrontend", "StreamingAvatarPipeline",
+           "StreamingCoeffDecoder", "StreamingListenerSession",
+           "StreamingRenderer", "StreamingSemanticWindower",
+           "StreamingSessionPool", "StreamingSmoother",
+           "StreamingSpeakerSession"]

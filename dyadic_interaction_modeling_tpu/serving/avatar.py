@@ -1,0 +1,390 @@
+"""End-to-end live avatar serving: audio/motion in -> rendered frames out.
+
+The reference runs its listener pipeline as three OFFLINE batch scripts over
+saved files: generate codes (``/root/reference/code/test_s2s_pretrain.py``),
+smooth + export EMOCA coefficient dirs
+(``/root/reference/code/postprocess2emoca.py:7-29,81-105``), then render
+with PIRender (``/root/reference/code/Pirender/inference_newmodel.py``).
+This module runs the SAME math incrementally with bounded per-frame latency,
+composing streaming operators around a ``StreamingListenerSession``:
+
+1. ``StreamingCoeffDecoder`` turns listener codes into EMOCA coefficient
+   frames.  The VQ motion decoder is bidirectional over the code sequence
+   (stage1_BIWI.py:320-393), so frame ``t`` FINALIZES once ``lookahead``
+   future frames' codes exist, decoded from the masked prefix
+   ``codes[:, : t+la+1]`` - one fixed-capacity jitted program serves every
+   prefix length (no recompiles).  The masked decode is the
+   per-sample-equivalent semantics, i.e. what the reference's B=1 eval loop
+   computes (x_engine_pt.py decodes clips individually).
+2. ``StreamingSmoother`` - streaming twin of
+   ``postprocess.smooth_logits_matrix`` (window-10 moving average with the
+   reference's zero-edge quirk): frame ``t`` finalizes once frame
+   ``t + window - window//2 - 1`` exists; bit-identical to the offline
+   function for every stream length and push granularity.
+3. ``StreamingSemanticWindower`` - streaming twin of
+   ``render.data.semantic_window`` (radius-13 coefficient windows, clamped
+   at clip boundaries exactly like vox_dataset.py's obtain_seq_index).
+4. ``StreamingRenderer`` - an optional fixed-batch PIRender stage (one
+   jitted FaceGenerator program) turning finalized windows into frames.
+
+Every operator's emissions depend only on the stream CONTENT, never on how
+the host sliced its pushes, and concatenated emissions equal the offline
+batch functions exactly (tests/test_avatar.py).  End-to-end added latency is
+``lookahead + (window - window//2 - 1) + radius`` frames (defaults
+8 + 4 + 13 = 25 frames = 0.83 s at 30 fps) on top of the session's chunk
+cadence - a true live avatar, which the reference's offline scripts cannot
+express.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.slm import SLMFT
+from .streaming import StreamingListenerSession
+
+
+class StreamingSmoother:
+    """Streaming twin of ``postprocess.smooth_logits_matrix``.
+
+    Emits each frame's smoothed value as soon as it is final:
+
+    * frames ``[0, window//2)`` are edge frames (zero or copy, per
+      ``edge_mode``) - final immediately;
+    * frame ``t >= window//2`` takes the centered moving average
+      ``mean(x[t - w//2 : t + w - w//2])`` - final once frame
+      ``t + w - w//2 - 1`` has arrived;
+    * remaining tail frames are edge frames - final at ``flush()`` (only
+      then is the clip length known).
+
+    For every total length T (including T < window, the reference's
+    all-edges case) and every push granularity, the concatenated emissions
+    equal ``smooth_logits_matrix(x, window, edge_mode)`` exactly.  Only
+    even windows are supported: the reference formula
+    (postprocess2emoca.py:24) is shape-inconsistent for odd windows and is
+    only ever used with window=10.
+    """
+
+    def __init__(self, window: int = 10, edge_mode: str = "zero"):
+        if window % 2 != 0:
+            raise ValueError("smoothing window must be even (reference uses 10)")
+        if edge_mode not in ("zero", "copy"):
+            raise ValueError(f"unknown edge_mode {edge_mode!r}")
+        self.window = window
+        self.edge_mode = edge_mode
+        self._frames: List[np.ndarray] = []   # raw frames, each (..., C)
+        self._emitted = 0
+
+    @property
+    def latency_frames(self) -> int:
+        return self.window - self.window // 2 - 1
+
+    def push(self, frames: np.ndarray) -> np.ndarray:
+        """frames (..., n, C); returns newly finalized frames (..., m, C)."""
+        frames = np.asarray(frames, dtype=np.float64)
+        for k in range(frames.shape[-2]):
+            self._frames.append(frames[..., k, :])
+        return self._drain(final=False)
+
+    def flush(self) -> np.ndarray:
+        """Finalize the tail (edge frames) once the stream has ended."""
+        return self._drain(final=True)
+
+    def _edge_value(self, i: int) -> np.ndarray:
+        raw = self._frames[i]
+        return np.zeros_like(raw) if self.edge_mode == "zero" else raw.copy()
+
+    def _empty(self) -> np.ndarray:
+        if self._frames:
+            s = self._frames[0].shape
+            return np.zeros(s[:-1] + (0, s[-1]), np.float64)
+        return np.zeros((0, 0), np.float64)
+
+    def _drain(self, final: bool) -> np.ndarray:
+        w, lo = self.window, self.window // 2
+        t = len(self._frames)
+        out = []
+        while self._emitted < t:
+            i = self._emitted
+            if i < lo:
+                out.append(self._edge_value(i))
+            elif i + (w - lo - 1) <= t - 1:
+                stack = np.stack(self._frames[i - lo: i - lo + w], axis=-2)
+                out.append(stack.mean(axis=-2))
+            elif final:
+                out.append(self._edge_value(i))
+            else:
+                break
+            self._emitted += 1
+        return np.stack(out, axis=-2) if out else self._empty()
+
+
+class StreamingSemanticWindower:
+    """Streaming twin of ``render.data.semantic_window``: frame ``t``'s
+    (..., C, 2r+1) coefficient window finalizes once frame ``t + radius``
+    exists (lower indices clamp at 0 as frames arrive; upper clamping only
+    matters for the tail, which finalizes at ``flush()`` with the true clip
+    length).  Emissions equal the offline function on the full clip."""
+
+    def __init__(self, radius: int = 13):
+        self.radius = radius
+        self._frames: List[np.ndarray] = []   # each (..., C)
+        self._emitted = 0
+
+    @property
+    def latency_frames(self) -> int:
+        return self.radius
+
+    def push(self, frames: np.ndarray) -> List[np.ndarray]:
+        frames = np.asarray(frames, dtype=np.float32)
+        for k in range(frames.shape[-2]):
+            self._frames.append(frames[..., k, :])
+        return self._drain(final=False)
+
+    def flush(self) -> List[np.ndarray]:
+        return self._drain(final=True)
+
+    def _drain(self, final: bool) -> List[np.ndarray]:
+        t = len(self._frames)
+        out = []
+        while self._emitted < t:
+            i = self._emitted
+            if not final and i + self.radius > t - 1:
+                break
+            idx = [min(max(j, 0), t - 1)
+                   for j in range(i - self.radius, i + self.radius + 1)]
+            window = np.stack([self._frames[j] for j in idx], axis=-2)
+            out.append(np.swapaxes(window, -1, -2).astype(np.float32))
+            self._emitted += 1
+        return out
+
+
+class StreamingCoeffDecoder:
+    """Streaming code -> coefficient-frame decode with bounded lookahead.
+
+    The VQ motion decoder attends bidirectionally over the code sequence, so
+    a live stream must pick a finalization horizon: frame ``t`` is emitted
+    once ``lookahead`` future frames' codes exist, decoded from the masked
+    prefix ``codes[:, : (t + la + 1) * fq]`` - EXACTLY that prefix, whatever
+    the push slicing, so emissions are reproducible.  ``lookahead=None``
+    defers everything to ``flush()``, where frames are decoded from the full
+    final sequence (bit-identical to the offline clip decode).
+
+    ``decode_fn(tokens (B, capacity*fq), n_tokens (B,)) -> (B, capacity, C)``
+    abstracts the model so listener (fq=1) and speaker (fq=8) heads both
+    plug in; see ``listener_decode_fn``.
+    """
+
+    def __init__(self, decode_fn, *, batch: int, capacity: int,
+                 lookahead: Optional[int] = 8, tokens_per_frame: int = 1):
+        self.decode_fn = decode_fn
+        self.batch = batch
+        self.capacity = capacity
+        self.lookahead = lookahead
+        self.fq = tokens_per_frame
+        self._tokens = np.zeros((batch, 0), np.int32)
+        self._emitted = 0
+        self._coeff_dim = 1
+
+    @property
+    def latency_frames(self) -> int:
+        return 0 if self.lookahead is None else self.lookahead
+
+    @property
+    def frames_available(self) -> int:
+        return self._tokens.shape[1] // self.fq
+
+    def push(self, tokens: np.ndarray) -> np.ndarray:
+        """tokens (B, n*fq) newly generated codes; returns newly finalized
+        coefficient frames (B, m, C)."""
+        tokens = np.asarray(tokens, np.int32)
+        self._tokens = np.concatenate([self._tokens, tokens], axis=1)
+        if self._tokens.shape[1] > self.capacity * self.fq:
+            raise ValueError("token capacity exceeded; raise capacity")
+        if self.lookahead is None:
+            return self._empty()
+        return self._decode_upto(self.frames_available - self.lookahead)
+
+    def flush(self) -> np.ndarray:
+        """Finalize the tail from the full final sequence (== the offline
+        decode of the whole code stream for those frames)."""
+        return self._decode_upto(self.frames_available)
+
+    def _decode_upto(self, hi: int) -> np.ndarray:
+        if hi <= self._emitted:
+            return self._empty()
+        total = self.frames_available
+        out, cached_n, coeffs = [], None, None
+        for t in range(self._emitted, hi):
+            n_ctx = total if self.lookahead is None else \
+                min(t + self.lookahead + 1, total)
+            if n_ctx != cached_n:
+                coeffs = self._decode_prefix(n_ctx)
+                cached_n = n_ctx
+            out.append(coeffs[:, t: t + 1])
+        self._emitted = hi
+        res = np.concatenate(out, axis=1)
+        self._coeff_dim = res.shape[-1]
+        return res
+
+    def _decode_prefix(self, n_frames: int) -> np.ndarray:
+        pad = self.capacity * self.fq - self._tokens.shape[1]
+        toks = np.pad(self._tokens, ((0, 0), (0, pad)))
+        n_tok = np.full((self.batch,), n_frames * self.fq, np.int32)
+        return np.asarray(self.decode_fn(jnp.asarray(toks),
+                                         jnp.asarray(n_tok)))
+
+    def _empty(self) -> np.ndarray:
+        return np.zeros((self.batch, 0, self._coeff_dim), np.float32)
+
+
+def listener_decode_fn(model: SLMFT, params):
+    """Fixed-capacity masked listener-VQ decode (jitted once)."""
+
+    @jax.jit
+    def _decode(params, toks, n_tok):
+        return model.apply(params, toks, lengths=n_tok,
+                           method=SLMFT.decode_tokens_to_motion)
+
+    return lambda toks, n_tok: _decode(params, toks, n_tok)
+
+
+class StreamingRenderer:
+    """Fixed-batch PIRender stage: buffers finalized (B, C, 2r+1) windows
+    and renders ``frames_per_call`` of them at a time through ONE jitted
+    FaceGenerator program (B * frames_per_call images per call); ``flush``
+    pads the final partial call and discards the padding."""
+
+    def __init__(self, model, params, source_images: np.ndarray, *,
+                 frames_per_call: int = 8):
+        self.model = model
+        self.params = params
+        self.batch = source_images.shape[0]
+        self.frames_per_call = frames_per_call
+        self._src = jnp.asarray(source_images)          # (B, H, W, 3)
+        self._pending: List[np.ndarray] = []            # each (B, C, W)
+
+        @jax.jit
+        def _render(params, imgs, sems):
+            out = model.apply({"params": params}, imgs, sems)
+            return out["fake_image"], out["warp_image"]
+
+        self._render_fn = _render
+
+    def push(self, windows: List[np.ndarray]) -> Dict[str, np.ndarray]:
+        self._pending.extend(windows)
+        return self._drain(final=False)
+
+    def flush(self) -> Dict[str, np.ndarray]:
+        return self._drain(final=True)
+
+    def _drain(self, final: bool) -> Dict[str, np.ndarray]:
+        fakes, warps = [], []
+        r = self.frames_per_call
+        while len(self._pending) >= r or (final and self._pending):
+            block, self._pending = self._pending[:r], self._pending[r:]
+            n_valid = len(block)
+            block = block + [block[-1]] * (r - n_valid)   # flush padding
+            sems = jnp.asarray(np.stack(block, axis=1).reshape(
+                self.batch * r, *block[0].shape[1:]))
+            imgs = jnp.tile(self._src[:, None], (1, r, 1, 1, 1)).reshape(
+                self.batch * r, *self._src.shape[1:])
+            fake, warp = self._render_fn(self.params, imgs, sems)
+            fake = np.asarray(fake).reshape(self.batch, r, *fake.shape[1:])
+            warp = np.asarray(warp).reshape(self.batch, r, *warp.shape[1:])
+            fakes.append(fake[:, :n_valid])
+            warps.append(warp[:, :n_valid])
+        if not fakes:
+            _, h, w, c = self._src.shape
+            empty = np.zeros((self.batch, 0, h, w, c), np.float32)
+            return {"fake_image": empty, "warp_image": empty.copy()}
+        return {"fake_image": np.concatenate(fakes, axis=1),
+                "warp_image": np.concatenate(warps, axis=1)}
+
+
+class StreamingAvatarPipeline:
+    """The full live listener avatar: speaker motion+audio chunks in,
+    rendered listener video frames out.
+
+    Parameters
+    ----------
+    session: a fresh ``StreamingListenerSession`` (its batch/chunk set the
+        pipeline cadence; one listener code is generated per fed frame).
+    prompt: (B, P) seed listener codes (the reference seeds with the first
+        GT listener code, seq2seq_pretrain.py:450; zeros are the cold-start
+        choice).  Consumed on the first ``push``.
+    vq_lookahead: frames of future code context before a coefficient frame
+        finalizes (None = only at flush, exactly the offline decode).
+    smooth_window / edge_mode: ``postprocess.smooth_logits_matrix`` params.
+    semantic_radius: PIRender coefficient-window radius.
+    renderer / render_params / source_images: optional FaceGenerator stage;
+        omit to stream smoothed coefficient windows only.
+    """
+
+    def __init__(self, session: StreamingListenerSession, *, prompt=None,
+                 vq_lookahead: Optional[int] = 8, smooth_window: int = 10,
+                 edge_mode: str = "zero", semantic_radius: int = 13,
+                 renderer=None, render_params=None, source_images=None,
+                 render_frames_per_call: int = 8):
+        self.session = session
+        b = session.batch
+        self.prompt = (np.zeros((b, 1), np.int32) if prompt is None
+                       else np.asarray(prompt, np.int32))
+        self._started = False
+        self.decoder = StreamingCoeffDecoder(
+            listener_decode_fn(session.model, session.params),
+            batch=b, capacity=session.max_tokens, lookahead=vq_lookahead)
+        self.smoother = StreamingSmoother(smooth_window, edge_mode)
+        self.windower = StreamingSemanticWindower(semantic_radius)
+        self.renderer = None
+        if renderer is not None:
+            self.renderer = StreamingRenderer(
+                renderer, render_params, np.asarray(source_images),
+                frames_per_call=render_frames_per_call)
+
+    @property
+    def latency_frames(self) -> int:
+        """Added pipeline latency beyond the session's chunk cadence."""
+        return (self.decoder.latency_frames + self.smoother.latency_frames
+                + self.windower.latency_frames)
+
+    def push(self, speaker_chunk, audio_chunk,
+             n_valid: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Feed one speaker chunk, generate that many listener codes, run
+        every downstream stage as far as finalization allows.  Returns the
+        newly finalized artifacts of each stage (possibly empty): tokens
+        (B, n), coeffs (B, m, C), smoothed (B, m', C), windows (list of
+        (B, C, 2r+1)), fake_image/warp_image (B, m'', H, W, 3)."""
+        self.session.feed(speaker_chunk, audio_chunk, n_valid=n_valid)
+        if not self._started:
+            self.session.start(self.prompt)
+            self._started = True
+        n = self.session.chunk if n_valid is None else n_valid
+        tokens = self.session.generate(n)
+        out = {"tokens": np.asarray(tokens)}
+        out["coeffs"] = self.decoder.push(tokens)
+        out["smoothed"] = self.smoother.push(out["coeffs"])
+        out["windows"] = self.windower.push(out["smoothed"])
+        if self.renderer is not None:
+            out.update(self.renderer.push(out["windows"]))
+        return out
+
+    def flush(self) -> Dict[str, np.ndarray]:
+        """Finalize every stage's tail once the stream has ended."""
+        out = {"tokens": np.zeros((self.session.batch, 0), np.int32)}
+        out["coeffs"] = self.decoder.flush()
+        sm_head = self.smoother.push(out["coeffs"])
+        out["smoothed"] = np.concatenate([sm_head, self.smoother.flush()],
+                                         axis=-2)
+        out["windows"] = (self.windower.push(out["smoothed"])
+                          + self.windower.flush())
+        if self.renderer is not None:
+            head = self.renderer.push(out["windows"])
+            tail = self.renderer.flush()
+            for k in ("fake_image", "warp_image"):
+                out[k] = np.concatenate([head[k], tail[k]], axis=1)
+        return out
