@@ -168,11 +168,16 @@ class StreamingCoeffDecoder:
 
     The VQ motion decoder attends bidirectionally over the code sequence, so
     a live stream must pick a finalization horizon: frame ``t`` is emitted
-    once ``lookahead`` future frames' codes exist, decoded from the masked
-    prefix ``codes[:, : (t + la + 1) * fq]`` - EXACTLY that prefix, whatever
-    the push slicing, so emissions are reproducible.  ``lookahead=None``
-    defers everything to ``flush()``, where frames are decoded from the full
-    final sequence (bit-identical to the offline clip decode).
+    once its horizon ``H(t) = round_up(t + la + 1, granularity)`` frames of
+    codes exist, decoded from the masked prefix ``codes[:, : H(t) * fq]`` -
+    EXACTLY that prefix, whatever the push slicing, so emissions are
+    reproducible.  ``granularity`` trades latency for device calls: with
+    ``granularity=1`` every frame gets its own prefix (one decode per
+    frame); with ``granularity=chunk`` a whole chunk of frames shares one
+    horizon (ONE decode per chunk, up to ``granularity - 1`` extra frames of
+    latency).  ``lookahead=None`` defers everything to ``flush()``, where
+    frames are decoded from the full final sequence (the offline clip
+    decode); flush also clamps surviving horizons to the true clip length.
 
     ``decode_fn(tokens (B, capacity*fq), n_tokens (B,)) -> (B, capacity, C)``
     abstracts the model so listener (fq=1) and speaker (fq=8) heads both
@@ -180,11 +185,13 @@ class StreamingCoeffDecoder:
     """
 
     def __init__(self, decode_fn, *, batch: int, capacity: int,
-                 lookahead: Optional[int] = 8, tokens_per_frame: int = 1):
+                 lookahead: Optional[int] = 8, granularity: int = 1,
+                 tokens_per_frame: int = 1):
         self.decode_fn = decode_fn
         self.batch = batch
         self.capacity = capacity
         self.lookahead = lookahead
+        self.granularity = granularity
         self.fq = tokens_per_frame
         self._tokens = np.zeros((batch, 0), np.int32)
         self._emitted = 0
@@ -192,7 +199,10 @@ class StreamingCoeffDecoder:
 
     @property
     def latency_frames(self) -> int:
-        return 0 if self.lookahead is None else self.lookahead
+        """Worst-case finalization lag behind the code stream."""
+        if self.lookahead is None:
+            return 0
+        return self.lookahead + self.granularity - 1
 
     @property
     def frames_available(self) -> int:
@@ -207,21 +217,27 @@ class StreamingCoeffDecoder:
             raise ValueError("token capacity exceeded; raise capacity")
         if self.lookahead is None:
             return self._empty()
-        return self._decode_upto(self.frames_available - self.lookahead)
+        # frame t finalizes once H(t) = round_up(t+la+1, g) frames exist
+        g, a = self.granularity, self.frames_available
+        return self._decode_upto(g * (a // g) - self.lookahead, final=False)
 
     def flush(self) -> np.ndarray:
         """Finalize the tail from the full final sequence (== the offline
         decode of the whole code stream for those frames)."""
-        return self._decode_upto(self.frames_available)
+        return self._decode_upto(self.frames_available, final=True)
 
-    def _decode_upto(self, hi: int) -> np.ndarray:
+    def _horizon(self, t: int) -> int:
+        g = self.granularity
+        return g * -(-(t + self.lookahead + 1) // g)
+
+    def _decode_upto(self, hi: int, final: bool) -> np.ndarray:
         if hi <= self._emitted:
             return self._empty()
         total = self.frames_available
         out, cached_n, coeffs = [], None, None
         for t in range(self._emitted, hi):
-            n_ctx = total if self.lookahead is None else \
-                min(t + self.lookahead + 1, total)
+            n_ctx = total if (final or self.lookahead is None) else \
+                self._horizon(t)
             if n_ctx != cached_n:
                 coeffs = self._decode_prefix(n_ctx)
                 cached_n = n_ctx
@@ -319,6 +335,9 @@ class StreamingAvatarPipeline:
         choice).  Consumed on the first ``push``.
     vq_lookahead: frames of future code context before a coefficient frame
         finalizes (None = only at flush, exactly the offline decode).
+    vq_granularity: horizon rounding of the coefficient decode (see
+        ``StreamingCoeffDecoder``); set to the session chunk for one decode
+        call per chunk instead of one per frame.
     smooth_window / edge_mode: ``postprocess.smooth_logits_matrix`` params.
     semantic_radius: PIRender coefficient-window radius.
     renderer / render_params / source_images: optional FaceGenerator stage;
@@ -326,9 +345,10 @@ class StreamingAvatarPipeline:
     """
 
     def __init__(self, session: StreamingListenerSession, *, prompt=None,
-                 vq_lookahead: Optional[int] = 8, smooth_window: int = 10,
-                 edge_mode: str = "zero", semantic_radius: int = 13,
-                 renderer=None, render_params=None, source_images=None,
+                 vq_lookahead: Optional[int] = 8, vq_granularity: int = 1,
+                 smooth_window: int = 10, edge_mode: str = "zero",
+                 semantic_radius: int = 13, renderer=None,
+                 render_params=None, source_images=None,
                  render_frames_per_call: int = 8):
         self.session = session
         b = session.batch
@@ -337,7 +357,8 @@ class StreamingAvatarPipeline:
         self._started = False
         self.decoder = StreamingCoeffDecoder(
             listener_decode_fn(session.model, session.params),
-            batch=b, capacity=session.max_tokens, lookahead=vq_lookahead)
+            batch=b, capacity=session.max_tokens, lookahead=vq_lookahead,
+            granularity=vq_granularity)
         self.smoother = StreamingSmoother(smooth_window, edge_mode)
         self.windower = StreamingSemanticWindower(semantic_radius)
         self.renderer = None

@@ -155,6 +155,25 @@ def test_coeff_decoder_horizon_and_push_invariance():
         np.testing.assert_allclose(a[:, t], off[:, t], rtol=2e-4, atol=2e-5,
                                    err_msg=f"t={t}")
 
+    # chunk-granular horizons: one decode per granularity-block, frame t
+    # decoded from codes[:, : round_up(t+la+1, g)] (clamped to T at flush)
+    g, la_g = 4, 1
+    dec = StreamingCoeffDecoder(listener_decode_fn(model, params),
+                                batch=2, capacity=16, lookahead=la_g,
+                                granularity=g)
+    assert dec.latency_frames == la_g + g - 1
+    parts = [dec.push(tokens[:, :7]), dec.push(tokens[:, 7:]), dec.flush()]
+    coarse = np.concatenate([p for p in parts if p.shape[1]], axis=1)
+    assert parts[0].shape[1] == 3          # H(t)<=4 for t<3 (A//g*g - la = 3)
+    assert coarse.shape[1] == 12
+    for t in (0, 3, 6, 11):
+        h = min(g * -(-(t + la_g + 1) // g), 12)
+        if t >= 12 - la_g or h > 12:
+            h = 12                          # flush clamps to the clip length
+        off = _offline_prefix_decode(model, params, tokens, h)
+        np.testing.assert_allclose(coarse[:, t], off[:, t], rtol=2e-4,
+                                   atol=2e-5, err_msg=f"g=4 t={t}")
+
     # lookahead=None: nothing until flush, then the full offline decode
     dec = StreamingCoeffDecoder(listener_decode_fn(model, params),
                                 batch=2, capacity=16, lookahead=None)
