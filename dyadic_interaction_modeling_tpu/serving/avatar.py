@@ -63,10 +63,11 @@ class StreamingSmoother:
 
     For every total length T (including T < window, the reference's
     all-edges case) and every push granularity, the concatenated emissions
-    equal ``smooth_logits_matrix(x, window, edge_mode)`` exactly.  Only
-    even windows are supported: the reference formula
-    (postprocess2emoca.py:24) is shape-inconsistent for odd windows and is
-    only ever used with window=10.
+    equal ``smooth_logits_matrix(x, window, edge_mode)`` - edge frames
+    bit-identically, interior frames to float64 round-off (the offline
+    np.convolve scales before summing; tests pin 1e-12).  Only even windows
+    are supported: the reference formula (postprocess2emoca.py:24) is
+    shape-inconsistent for odd windows and is only ever used with 10.
     """
 
     def __init__(self, window: int = 10, edge_mode: str = "zero"):
@@ -273,21 +274,38 @@ class StreamingRenderer:
     """Fixed-batch PIRender stage: buffers finalized (B, C, 2r+1) windows
     and renders ``frames_per_call`` of them at a time through ONE jitted
     FaceGenerator program (B * frames_per_call images per call); ``flush``
-    pads the final partial call and discards the padding."""
+    pads the final partial call and discards the padding.
+
+    ``outputs`` selects which generator images leave the device (production
+    streams want ``("fake_image",)`` - warp is a diagnostic) and
+    ``as_uint8`` converts to display bytes ON DEVICE with the PNG-export
+    formula ``(clip(x,-1,1)+1)*127.5`` (render/inference.py): together they
+    cut device->host traffic 8x, which dominates the serving round on any
+    bandwidth-constrained link."""
 
     def __init__(self, model, params, source_images: np.ndarray, *,
-                 frames_per_call: int = 8):
+                 frames_per_call: int = 8,
+                 outputs=("fake_image", "warp_image"), as_uint8: bool = False):
         self.model = model
         self.params = params
         self.batch = source_images.shape[0]
         self.frames_per_call = frames_per_call
+        self.outputs = tuple(outputs)
+        self.as_uint8 = as_uint8
         self._src = jnp.asarray(source_images)          # (B, H, W, 3)
         self._pending: List[np.ndarray] = []            # each (B, C, W)
 
         @jax.jit
         def _render(params, imgs, sems):
             out = model.apply({"params": params}, imgs, sems)
-            return out["fake_image"], out["warp_image"]
+            res = {}
+            for k in self.outputs:
+                x = out[k]
+                if as_uint8:
+                    x = ((jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5
+                         ).astype(jnp.uint8)
+                res[k] = x
+            return res
 
         self._render_fn = _render
 
@@ -299,7 +317,7 @@ class StreamingRenderer:
         return self._drain(final=True)
 
     def _drain(self, final: bool) -> Dict[str, np.ndarray]:
-        fakes, warps = [], []
+        acc: Dict[str, List[np.ndarray]] = {k: [] for k in self.outputs}
         r = self.frames_per_call
         while len(self._pending) >= r or (final and self._pending):
             block, self._pending = self._pending[:r], self._pending[r:]
@@ -309,17 +327,17 @@ class StreamingRenderer:
                 self.batch * r, *block[0].shape[1:]))
             imgs = jnp.tile(self._src[:, None], (1, r, 1, 1, 1)).reshape(
                 self.batch * r, *self._src.shape[1:])
-            fake, warp = self._render_fn(self.params, imgs, sems)
-            fake = np.asarray(fake).reshape(self.batch, r, *fake.shape[1:])
-            warp = np.asarray(warp).reshape(self.batch, r, *warp.shape[1:])
-            fakes.append(fake[:, :n_valid])
-            warps.append(warp[:, :n_valid])
-        if not fakes:
+            res = self._render_fn(self.params, imgs, sems)
+            for k in self.outputs:
+                x = np.asarray(res[k]).reshape(
+                    self.batch, r, *res[k].shape[1:])
+                acc[k].append(x[:, :n_valid])
+        if not acc[self.outputs[0]]:
             _, h, w, c = self._src.shape
-            empty = np.zeros((self.batch, 0, h, w, c), np.float32)
-            return {"fake_image": empty, "warp_image": empty.copy()}
-        return {"fake_image": np.concatenate(fakes, axis=1),
-                "warp_image": np.concatenate(warps, axis=1)}
+            dt = np.uint8 if self.as_uint8 else np.float32
+            return {k: np.zeros((self.batch, 0, h, w, c), dt)
+                    for k in self.outputs}
+        return {k: np.concatenate(v, axis=1) for k, v in acc.items()}
 
 
 class StreamingAvatarPipeline:
@@ -349,7 +367,9 @@ class StreamingAvatarPipeline:
                  smooth_window: int = 10, edge_mode: str = "zero",
                  semantic_radius: int = 13, renderer=None,
                  render_params=None, source_images=None,
-                 render_frames_per_call: int = 8):
+                 render_frames_per_call: int = 8,
+                 render_outputs=("fake_image", "warp_image"),
+                 render_uint8: bool = False):
         self.session = session
         b = session.batch
         self.prompt = (np.zeros((b, 1), np.int32) if prompt is None
@@ -365,7 +385,8 @@ class StreamingAvatarPipeline:
         if renderer is not None:
             self.renderer = StreamingRenderer(
                 renderer, render_params, np.asarray(source_images),
-                frames_per_call=render_frames_per_call)
+                frames_per_call=render_frames_per_call,
+                outputs=render_outputs, as_uint8=render_uint8)
 
     @property
     def latency_frames(self) -> int:
@@ -406,6 +427,6 @@ class StreamingAvatarPipeline:
         if self.renderer is not None:
             head = self.renderer.push(out["windows"])
             tail = self.renderer.flush()
-            for k in ("fake_image", "warp_image"):
+            for k in self.renderer.outputs:
                 out[k] = np.concatenate([head[k], tail[k]], axis=1)
         return out

@@ -49,6 +49,11 @@ def main(argv=None):
                         help="concurrent avatar streams in lockstep")
     parser.add_argument("--no-render", action="store_true",
                         help="stop at smoothed windows (no FaceGenerator)")
+    parser.add_argument("--full-outputs", action="store_true",
+                        help="emit fake+warp as float32 (offline-script "
+                             "parity shapes) instead of the serving config "
+                             "(fake only, uint8 on device - 8x less "
+                             "device->host traffic)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -98,12 +103,18 @@ def main(argv=None):
     sess = StreamingListenerSession(model, params, batch=b, chunk=c,
                                     max_frames=args.max_frames,
                                     max_tokens=args.max_frames)
+    outputs = (("fake_image", "warp_image") if args.full_outputs
+               else ("fake_image",))
     pipe = StreamingAvatarPipeline(sess, vq_lookahead=c, vq_granularity=c,
                                    renderer=renderer, render_params=r_params,
                                    source_images=src,
-                                   render_frames_per_call=c)
+                                   render_frames_per_call=c,
+                                   render_outputs=outputs,
+                                   render_uint8=not args.full_outputs)
     print(f"chunk={c} batch={b} res={args.res} "
           f"platform={jax.default_backend()} slm=bf16 renderer=fp32 "
+          f"outputs={'+'.join(outputs)}"
+          f"{' uint8' if not args.full_outputs else ' f32'} "
           f"pipeline latency={pipe.latency_frames} frames "
           f"(+chunk cadence) = {(pipe.latency_frames + c) / 30:.2f} s @30fps")
 

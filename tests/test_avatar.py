@@ -258,6 +258,34 @@ def test_avatar_pipeline_matches_offline_chain():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_streaming_renderer_uint8_serving_outputs():
+    """The serving render config (fake only, uint8 on device) equals the
+    float path through the PNG-export conversion (render/inference.py)."""
+    from dyadic_interaction_modeling_tpu.serving import StreamingRenderer
+
+    radius = 6
+    model, params, src = _tiny_renderer(batch=1, res=16, radius=radius)
+    rng = np.random.default_rng(7)
+    windows = [rng.normal(size=(1, 56, 2 * radius + 1)).astype(np.float32)
+               for _ in range(5)]
+
+    rf = StreamingRenderer(model, params, src, frames_per_call=2)
+    out_f = {k: np.concatenate([a[k], b[k]], axis=1) for a, b in
+             [(rf.push(windows), rf.flush())] for k in rf.outputs}
+    ru = StreamingRenderer(model, params, src, frames_per_call=2,
+                           outputs=("fake_image",), as_uint8=True)
+    head = ru.push(windows)
+    tail = ru.flush()
+    out_u = np.concatenate([head["fake_image"], tail["fake_image"]], axis=1)
+    assert "warp_image" not in head and out_u.dtype == np.uint8
+    assert out_u.shape == out_f["fake_image"].shape
+    expect = ((np.clip(out_f["fake_image"], -1, 1) + 1) * 127.5
+              ).astype(np.uint8)
+    # on-device vs host rounding can differ by 1 LSB at exact .5 boundaries
+    diff = np.abs(out_u.astype(np.int16) - expect.astype(np.int16))
+    assert diff.max() <= 1
+
+
 def test_avatar_pipeline_bounded_lookahead_counts():
     model, params, v_s, v_a = _tiny_slmft(b=2)
     sess = StreamingListenerSession(model, params, batch=2, chunk=4,
