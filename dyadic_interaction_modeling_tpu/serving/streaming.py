@@ -61,6 +61,10 @@ class StreamingListenerSession:
                  greedy: bool = False):
         c = model.cfg
         self.model = model
+        # Accept either the full flax variables dict or a bare params tree
+        # (bench.py passed the latter in round 3 and crashed on the chip).
+        if "params" not in params:
+            params = {"params": params}
         self.params = params
         self.batch = batch
         self.chunk = chunk
