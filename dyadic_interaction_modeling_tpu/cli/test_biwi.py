@@ -28,8 +28,18 @@ def main(argv=None):
     parser.add_argument("--beam-size", type=int, default=50)
     parser.add_argument("--out-dir", type=str, default="./biwi_out")
     parser.add_argument("--vertice-dim", type=int, default=70110)
-    parser.add_argument("--mouth-map", type=str, default=None)
-    parser.add_argument("--upper-map", type=str, default=None)
+    parser.add_argument("--mouth-map", type=str, default=None,
+                        help="vertex-index file (reference lve.txt) enabling LVE")
+    parser.add_argument("--upper-map", type=str, default=None,
+                        help="vertex-index file (reference fdd.txt) enabling FDD")
+    parser.add_argument("--data-root", type=str, default=None,
+                        help="raw BIWI tree (wav/ vertices_npy/ emoca_biwi/ "
+                             "templates.pkl) - reference biwi.py:70-76 layout")
+    parser.add_argument("--hubert-checkpoint", type=str, default=None,
+                        help="torch HuBERT ckpt for on-the-fly audio features "
+                             "(s3prl Upstream / fairseq / HF layouts)")
+    parser.add_argument("--split", type=str, default="test",
+                        choices=["train", "val", "test"])
     args = parser.parse_args(argv)
     logger = setup(args)
     slm_cfg = load_config(args, slm_defaults)
@@ -54,8 +64,41 @@ def main(argv=None):
         mouth_map = list(range(n_v // 2))
         upper_map = list(range(n_v // 2, n_v))
     else:
-        raise SystemExit("real BIWI data loading requires the dataset mounted; "
-                         "run with --synthetic or provide paths")
+        if not args.data_root:
+            raise SystemExit("pass --data-root pointing at the BIWI tree "
+                             "(wav/ vertices_npy/ emoca_biwi/ templates.pkl) "
+                             "or run with --synthetic")
+        from ..data.datasets import BiwiEmocaDataset, read_biwi_emoca_data
+        from ..models.hubert import make_hubert_extractor
+
+        extract, _, _ = make_hubert_extractor(args.hubert_checkpoint)
+        if not args.hubert_checkpoint:
+            logger.warning("no --hubert-checkpoint: extracting with a "
+                           "random-init HuBERT trunk (pipeline smoke only)")
+        split_data = dict(zip(
+            ("train", "val", "test"),
+            read_biwi_emoca_data(args.data_root, extract)[:3]))
+        ds = BiwiEmocaDataset(split_data[args.split], data_type=args.split,
+                              read_audio=True)
+        if len(ds) == 0:
+            raise SystemExit(f"no clips in split {args.split!r} under "
+                             f"{args.data_root}")
+        # the reference evaluates with batch 1 (biwi.py:175-177); audio is
+        # already interpolated to the vertex count by the dataset
+        batches, templates = [], {}
+        for i in range(len(ds)):
+            audio, vertice, template, emoca, name = ds[i]
+            n = min(len(vertice), len(emoca))
+            batches.append((jnp.asarray(vertice[:n])[None],
+                            jnp.asarray(emoca[:n])[None],
+                            jnp.asarray(audio[:n])[None],
+                            jnp.asarray(template)[None],
+                            [name]))
+            templates["_".join(name.split("_")[:-1])] = np.asarray(template)
+        mouth_map = (np.loadtxt(args.mouth_map).astype(int).ravel().tolist()
+                     if args.mouth_map else None)
+        upper_map = (np.loadtxt(args.upper_map).astype(int).ravel().tolist()
+                     if args.upper_map else None)
 
     b0 = batches[0]
     mask0 = jnp.ones(b0[0].shape[:2], dtype=bool)
@@ -101,7 +144,7 @@ def main(argv=None):
 
     # LVE/FDD need mesh-space sequences + region maps + subject templates;
     # available in synthetic mode and whenever the maps are passed.
-    if args.synthetic:
+    if args.synthetic or (mouth_map and upper_map):
         mesh_head = jax.jit(lambda p, e: model.apply(
             p, jnp.asarray(e)[None], False,
             method=lambda m, toks, fl: m.vertice_map_reverse(

@@ -243,8 +243,9 @@ class LmListenerDataset:
 class BiwiEmocaDataset:
     """BIWI speaker items (reference ``dataset/biwi.py:45-66``): audio features
     linearly interpolated to the vertex-frame count, raw vertices, template,
-    EMOCA coefficients, name. Items carry precomputed 768-d audio features
-    (models.hubert extracts them on the fly when absent)."""
+    EMOCA coefficients, name. Items carry precomputed 768-d audio features;
+    ``read_biwi_emoca_data`` below builds them from a raw BIWI tree with
+    on-the-fly HuBERT extraction (``models.hubert.make_hubert_extractor``)."""
 
     def __init__(self, items: Sequence[Dict], data_type: str = "train",
                  read_audio: bool = True):
@@ -270,6 +271,96 @@ BIWI_SPLITS = {
     "vocaset": {"train": range(1, 41), "val": range(21, 41), "test": range(21, 41)},
     "BIWI": {"train": range(1, 33), "val": range(33, 37), "test": range(37, 41)},
 }
+
+# the speaker-pipeline reader's split table differs from data_loader.py's:
+# val == test == sentences 37-40 (reference biwi.py:151-152)
+BIWI_EMOCA_SPLITS = {
+    "vocaset": {"train": range(1, 41), "val": range(21, 41), "test": range(21, 41)},
+    "BIWI": {"train": range(1, 33), "val": range(37, 41), "test": range(37, 41)},
+}
+
+BIWI_EMOCA_TRAIN_SUBJECTS = "F2 F3 F4 M3 M4 M5"
+BIWI_EMOCA_TEST_SUBJECTS = "F1 F5 F6 F7 F8 M1 M2 M6"
+
+
+def read_biwi_emoca_data(data_root: str, hubert_extractor=None, *,
+                         wav_path: str = "wav",
+                         vertices_path: str = "vertices_npy",
+                         template_file: str = "templates.pkl",
+                         emoca_dir: str = "emoca_biwi",
+                         dataset: str = "BIWI",
+                         train_subjects: str = BIWI_EMOCA_TRAIN_SUBJECTS,
+                         val_subjects: str = BIWI_EMOCA_TRAIN_SUBJECTS,
+                         test_subjects: str = BIWI_EMOCA_TEST_SUBJECTS):
+    """Walk a raw BIWI tree into speaker-pipeline item lists with on-the-fly
+    768-d audio feature extraction (reference ``biwi.py:69-166`` read_data).
+
+    Per wav clip: 16 kHz waveform -> ``hubert_extractor`` features (the
+    reference runs s3prl HuBERT inside the loader, biwi.py:83-113; build one
+    with ``models.hubert.make_hubert_extractor``), template from
+    ``templates.pkl``, raw vertices from ``vertices_npy``, EMOCA pose+exp
+    concatenated per sorted frame from ``emoca_biwi/{clip}.pkl``
+    (biwi.py:127-137). Any per-clip failure skips the clip (the reference's
+    corrupt-sample strategy, biwi.py:104-141). ``hubert_extractor=None``
+    mirrors ``read_audio=False`` (VQ training skips audio, biwi.py:15).
+
+    Returns ``(train, valid, test, subjects_dict)`` item lists consumable by
+    ``BiwiEmocaDataset`` (audio is interpolated to the vertex count there,
+    matching biwi.py:37-52).
+    """
+    audio_dir = os.path.join(data_root, wav_path)
+    vert_dir = os.path.join(data_root, vertices_path)
+    emoca_root = os.path.join(data_root, emoca_dir)
+    with open(os.path.join(data_root, template_file), "rb") as f:
+        templates = pickle.load(f, encoding="latin1")
+    data: Dict[str, Dict] = {}
+    for r, _, fs in os.walk(audio_dir):
+        for fname in sorted(fs):
+            if not fname.endswith("wav"):
+                continue
+            try:
+                key = fname.replace("wav", "npy")
+                vert_path = os.path.join(vert_dir, key)
+                if not os.path.exists(vert_path):
+                    continue
+                audio = None
+                if hubert_extractor is not None:
+                    audio = np.asarray(hubert_extractor(
+                        _load_wav_16k(os.path.join(r, fname))), np.float32)
+                subject_id = "_".join(key.split("_")[:-1])
+                vertice = np.load(vert_path, allow_pickle=True)
+                if dataset == "vocaset":
+                    vertice = vertice[::2, :]  # memory limit (biwi.py:125)
+                with open(os.path.join(emoca_root,
+                                       fname.split(".")[0] + ".pkl"), "rb") as f:
+                    emoca_data = pickle.load(f)
+                emoca = np.array([
+                    np.concatenate([emoca_data[frame]["pose"],
+                                    emoca_data[frame]["exp"]])
+                    for frame in sorted(emoca_data.keys())])
+                data[key] = {
+                    "name": fname,
+                    "audio": audio,
+                    "template": np.asarray(templates[subject_id]).reshape(-1),
+                    "vertice": vertice,
+                    "emoca": emoca,
+                }
+            except Exception:  # noqa: BLE001 - corrupt-sample skip
+                continue
+    subjects = {
+        "train": train_subjects.split(" "),
+        "val": val_subjects.split(" "),
+        "test": test_subjects.split(" "),
+    }
+    splits = BIWI_EMOCA_SPLITS[dataset]
+    out = {"train": [], "val": [], "test": []}
+    for k, v in data.items():
+        subject_id = "_".join(k.split("_")[:-1])
+        sentence_id = int(k.split(".")[0][-2:])
+        for part in ("train", "val", "test"):
+            if subject_id in subjects[part] and sentence_id in splits[part]:
+                out[part].append(v)
+    return out["train"], out["val"], out["test"], subjects
 
 
 class BiwiDataset:
@@ -335,7 +426,13 @@ class BiwiDataset:
                     "audio": None,
                 }
                 if read_audio:
-                    entry["audio"] = _load_wav_16k(os.path.join(r, fname))
+                    # the reference feeds librosa audio through the HF
+                    # Wav2Vec2Processor (per-utterance zero-mean/unit-var,
+                    # data_loader.py:257,269) before the conv extractor
+                    from ..models.wav2vec2 import processor_normalize
+
+                    entry["audio"] = processor_normalize(
+                        _load_wav_16k(os.path.join(r, fname)))
                 data[key] = entry
         subjects = {
             "train": train_subjects.split(" "),

@@ -177,3 +177,56 @@ def extract_hubert_features(model: Wav2Vec2Model, params, waveform: np.ndarray,
     if target_frames is not None:
         feats = interpolate_to_length(feats, target_frames)
     return np.asarray(feats)
+
+
+def load_hubert_checkpoint(path: str, cfg: Optional[W2VConfig] = None) -> Dict:
+    """Torch HuBERT checkpoint (any supported layout) -> flax variables.
+
+    Accepts the s3prl downstream format the reference points at
+    (``torch.load(ckpt)['Upstream']``, biwi.py:85-89), a plain fairseq/HF
+    state_dict, or a ``{'state_dict': ...}`` wrapper.  Reference quirk worth
+    knowing: biwi.py builds the re-prefixed IEMOCAP state_dict but never
+    calls ``load_state_dict`` (biwi.py:86-90), so the reference actually
+    extracts with s3prl's BASE hubert weights; pass whichever checkpoint you
+    want here - it IS applied.
+    """
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "Upstream" in sd:
+        sd = sd["Upstream"]
+    elif isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {"params": hf_hubert_to_flax(sd, cfg)}
+
+
+def make_hubert_extractor(checkpoint_path: Optional[str] = None,
+                          cfg: Optional[W2VConfig] = None,
+                          dtype=jnp.float32):
+    """Build the production waveform -> (T', 768) HuBERT extractor for the
+    BIWI read path (``read_biwi_emoca_data``; reference on-the-fly
+    extraction: biwi.py:83-113).
+
+    Returns ``(extract, model, variables)`` where ``extract(waveform)``
+    maps a 16 kHz (samples,) array to features.  The forward is jitted;
+    distinct waveform lengths trace distinct programs (the reference also
+    runs one clip at a time), so extraction is a one-time per-dataset cost -
+    cache the features (the datasets keep them in the item dicts).  Without
+    a checkpoint the trunk is random-init (no pretrained weights ship in
+    this image); features are then only suitable for pipeline smoke runs.
+    """
+    cfg = cfg or hubert_base_config()
+    model = HubertModel(cfg, dtype=dtype)
+    if checkpoint_path:
+        variables = load_hubert_checkpoint(checkpoint_path, cfg)
+    else:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 4000), jnp.float32), "none")
+
+    fwd = jax.jit(lambda v, w: model.apply(v, w, "none"))
+
+    def extract(waveform: np.ndarray) -> np.ndarray:
+        w = jnp.asarray(waveform, jnp.float32)[None]
+        return np.asarray(fwd(variables, w)[0])
+
+    return extract, model, variables

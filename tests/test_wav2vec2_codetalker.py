@@ -11,7 +11,27 @@ from dyadic_interaction_modeling_tpu.models.wav2vec2 import (
     compute_mask_indices,
     hf_wav2vec2_to_flax,
     linear_interpolation,
+    processor_normalize,
 )
+
+
+def test_processor_normalize_matches_hf_feature_extractor():
+    """The reference normalizes raw audio through Wav2Vec2Processor before
+    the conv extractor (data_loader.py:257,269); for wav2vec2-base-960h that
+    is do_normalize=True per-utterance zero-mean/unit-var. Parity vs the HF
+    extractor constructed locally (no download)."""
+    tf = pytest.importorskip("transformers")
+    fe = tf.Wav2Vec2FeatureExtractor(feature_size=1, sampling_rate=16000,
+                                     do_normalize=True,
+                                     return_attention_mask=False)
+    rng = np.random.default_rng(0)
+    for n in (400, 12345):
+        x = (rng.standard_normal(n) * 0.3 + 0.05).astype(np.float32)
+        ref = np.squeeze(fe(x, sampling_rate=16000).input_values)
+        ours = processor_normalize(x)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+        assert abs(float(ours.mean())) < 1e-5
+        assert abs(float(ours.std()) - 1.0) < 1e-3
 
 
 def _tiny_w2v():
