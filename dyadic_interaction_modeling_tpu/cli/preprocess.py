@@ -402,12 +402,14 @@ def run_render_prep(args) -> str:
         out/<clip>/coeffs/<frame>/pose.npy, exp.npy
 
     This is the role ``Pirender/scripts/prepare_vox_lmdb.py`` plays for the
-    reference's lmdb VoxDataset (the lmdb library is not in this image; the
-    clip-dir layout is this framework's equivalent container). The upstream
-    keypoint / 3DMM extraction steps (``scripts/coeff_detector.py``,
-    ``face_recon_*.py``) depend on external pretrained face models that are
-    not bundled - this step consumes their OUTPUT: one ``(T, C)`` ``.npy``
-    coefficient matrix per clip (pose-first, default 6+50 EMOCA split).
+    reference's lmdb VoxDataset; ``render-prep-lmdb`` converts this tree
+    into that exact LMDB layout (``render.data.write_vox_lmdb``, pure-Python
+    lmdb in ``utils.lmdb_lite``) so the reference's prepared data and ours
+    interchange both ways. The upstream keypoint / 3DMM extraction steps
+    (``scripts/coeff_detector.py``, ``face_recon_*.py``) depend on external
+    pretrained face models that are not bundled - this step consumes their
+    OUTPUT: one ``(T, C)`` ``.npy`` coefficient matrix per clip (pose-first,
+    default 6+50 EMOCA split).
     """
     from ..postprocess.smoothing import export_emoca_dirs
 
@@ -473,6 +475,46 @@ def run_render_prep(args) -> str:
     return args.out
 
 
+def run_render_prep_lmdb(args) -> str:
+    """Convert a render-prep clip-dir tree into the reference's prepared
+    LMDB layout (``prepare_vox_lmdb.py``): env at ``{out}/{resolution}``
+    with ``{clip}-{frame:07d}`` images + ``{clip}-coeff_3dmm`` (T, 260)
+    rows (EMOCA coefficients embedded via ``emoca_to_coeff3dmm``), plus
+    train/test list files - loadable by BOTH the reference's
+    ``VoxDataset_old`` (real liblmdb) and our ``VoxLmdbDataset``."""
+    from ..render.data import (
+        emoca_to_coeff3dmm,
+        load_clip_dirs,
+        write_vox_lmdb,
+    )
+
+    logger = get_logger()
+    if args.synthetic:
+        sub_args = argparse.Namespace(
+            out=os.path.join(args.out, "_clip_dirs"), synthetic=True,
+            videos=None, coeffs=None, resolution=args.resolution,
+            pose_dims=6)
+        args.clips = run_render_prep(sub_args)
+    raw = load_clip_dirs(args.clips, resolution=args.resolution)
+    clips = {c["name"]: {"frames": c["frames"],
+                         "coeff_3dmm": emoca_to_coeff3dmm(c["coeffs"][:, :56])}
+             for c in raw}
+    test_names = args.test_clips.split(",") if args.test_clips else []
+    write_vox_lmdb(args.out, clips, resolution=args.resolution,
+                   test_names=test_names, img_format=args.img_format)
+    logger.info(f"render-prep-lmdb: wrote {len(clips)} clips to "
+                f"{args.out}/{args.resolution}")
+    if args.synthetic:
+        from ..render.data import VoxLmdbDataset
+
+        ds = VoxLmdbDataset(args.out, resolution=args.resolution,
+                            multiplier=1)
+        item = ds[0]
+        assert item["source_semantics"].shape[0] == 73
+        logger.info("render-prep-lmdb: VoxLmdbDataset round-trip OK")
+    return args.out
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="DIM preprocessing (reference offline scripts)")
@@ -534,10 +576,20 @@ def main(argv=None) -> int:
     p.add_argument("--resolution", type=int, default=256)
     p.add_argument("--pose-dims", type=int, default=6)
 
+    p = sub.add_parser("render-prep-lmdb")
+    common(p)
+    p.add_argument("--clips", type=str,
+                   help="render-prep clip-dir tree to convert")
+    p.add_argument("--resolution", type=int, default=256)
+    p.add_argument("--img-format", type=str, default="jpeg")
+    p.add_argument("--test-clips", type=str, default=None,
+                   help="comma-separated clip names for test_list.txt")
+
     args = parser.parse_args(argv)
     runner = {"candor": run_candor, "vico": run_vico, "vico-l2l": run_vico_l2l,
               "elp": run_elp, "l2l": run_l2l, "deception": run_deception,
-              "voca": run_voca, "render-prep": run_render_prep}[args.cmd]
+              "voca": run_voca, "render-prep": run_render_prep,
+              "render-prep-lmdb": run_render_prep_lmdb}[args.cmd]
     return runner(args)
 
 

@@ -13,6 +13,7 @@ scalar logs (tensorboardX-equivalent, utils/observability).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 
@@ -44,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--coeff-nc", type=int, default=58)
     parser.add_argument("--semantic-radius", type=int, default=13)
     parser.add_argument("--use-spect", action="store_true")
+    parser.add_argument("--lmdb-multiplier", type=int, default=100,
+                        help="person-list repetition for LMDB data "
+                             "(vox_dataset.py:370 uses 100)")
     parser.add_argument("--pretrain-warp-iteration", type=int, default=2)
     parser.add_argument("--max-epochs", type=int, default=1)
     parser.add_argument("--steps-per-epoch", type=int, default=4)
@@ -81,10 +85,23 @@ def main(argv=None):
                                       coeff_dim=args.coeff_nc,
                                       semantic_radius=args.semantic_radius)
         desc_nc, mapping_layers = 32, 2
+    elif args.data_root and os.path.isfile(
+            os.path.join(args.data_root, "train_list.txt")):
+        # the reference's prepared-VoxCeleb LMDB layout (prepare_vox_lmdb.py)
+        from ..render.data import VoxLmdbDataset
+
+        ds = VoxLmdbDataset(args.data_root, resolution=args.resolution,
+                            semantic_radius=args.semantic_radius,
+                            multiplier=args.lmdb_multiplier)
+        args.coeff_nc = 73  # transform_semantic output (vox_dataset.py:449-459)
+        desc_nc, mapping_layers = 256, 3
+        logger.info(f"LMDB data: {len(ds.video_items)} videos, "
+                    f"{len(set(ds.person_ids))} persons")
     else:
         if not args.data_root:
             raise SystemExit("pass --data-root <dir of clip dirs with frames/ "
-                             "+ coeffs/> or --synthetic")
+                             "+ coeffs/, or a prepared LMDB root with "
+                             "train_list.txt> or --synthetic")
         from ..render.data import FramePairDataset, load_clip_dirs
 
         clips = load_clip_dirs(args.data_root, resolution=args.resolution)

@@ -81,6 +81,154 @@ def synthetic_render_dataset(n_clips: int = 2, frames_per_clip: int = 8,
     return FramePairDataset(clips, semantic_radius=semantic_radius)
 
 
+class VoxLmdbDataset:
+    """The reference's prepared-VoxCeleb LMDB data, read natively.
+
+    Layout (``prepare_vox_lmdb.py`` -> ``vox_dataset.py:345-449``): an LMDB
+    environment at ``{root}/{resolution}`` with keys
+    ``{video}-{frame:07d}`` (encoded image bytes), ``{video}-length`` and
+    ``{video}-coeff_3dmm`` (float32 (T, 260) Deep3DFace coefficients +
+    crop), plus ``{root}/train_list.txt`` / ``test_list.txt``. Items follow
+    ``VoxDataset_old.__getitem__``: pick a person, a random video of theirs,
+    two random frames (uniform, vox_dataset.py:434-437), images to [-1, 1]
+    (we use NHWC), semantics via ``transform_semantic`` slicing exp[80:144],
+    angles[224:227], translation[254:257], crop[257:260] into a 73-d vector
+    windowed at ``semantic_radius`` (vox_dataset.py:439-460).
+
+    Uses ``utils.lmdb_lite`` (pure-Python LMDB), so liblmdb-produced
+    environments load without the ``lmdb`` binding.
+    """
+
+    def __init__(self, root: str, resolution: int = 256,
+                 is_inference: bool = False, semantic_radius: int = 13,
+                 multiplier: int = 100, seed: int = 0):
+        from ..utils.lmdb_lite import LmdbReader, format_for_lmdb
+
+        self._fmt = format_for_lmdb
+        self.env = LmdbReader(os.path.join(root, str(resolution)))
+        self.radius = semantic_radius
+        list_file = os.path.join(
+            root, "test_list.txt" if is_inference else "train_list.txt")
+        with open(list_file) as f:
+            videos = [ln.strip() for ln in f if ln.strip()]
+        self.video_items = []
+        for name in videos:
+            length = int(self.env.get(self._fmt(name, "length")).decode())
+            self.video_items.append(
+                {"video_name": name, "person_id": name.split("#")[0],
+                 "num_frame": length})
+        self.person_ids = sorted({v["video_name"].split("#")[0]
+                                  for v in self.video_items})
+        self.idx_by_person = {}
+        for i, v in enumerate(self.video_items):
+            self.idx_by_person.setdefault(v["person_id"], []).append(i)
+        # the reference repeats persons x100 so an "epoch" is long
+        # (vox_dataset.py:370); configurable here
+        self.person_ids = self.person_ids * multiplier
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.person_ids)
+
+    def _decode_image(self, raw: bytes) -> np.ndarray:
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(BytesIO(raw)).convert("RGB"), np.float32)
+        return img / 127.5 - 1.0
+
+    def _semantics(self, coeffs: np.ndarray, frame: int) -> np.ndarray:
+        win = semantic_window(coeffs, frame, self.radius)  # (260, 2r+1)
+        return np.concatenate([win[80:144], win[224:227], win[254:257],
+                               win[257:260]], axis=0)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        person = self.person_ids[index]
+        item = self.video_items[self.rng.choice(self.idx_by_person[person])]
+        name, t = item["video_name"], item["num_frame"]
+        i, j = self.rng.randrange(t), self.rng.randrange(t)
+        coeffs = np.frombuffer(
+            self.env.get(self._fmt(name, "coeff_3dmm")),
+            dtype=np.float32).reshape(t, -1)
+        return {
+            "source_image": self._decode_image(self.env.get(self._fmt(name, i))),
+            "target_image": self._decode_image(self.env.get(self._fmt(name, j))),
+            "source_semantics": self._semantics(coeffs, i),
+            "target_semantics": self._semantics(coeffs, j),
+        }
+
+    def batches(self, batch_size: int, steps: int):
+        import jax.numpy as jnp
+
+        for _ in range(steps):
+            items = [self[self.rng.randrange(len(self))]
+                     for _ in range(batch_size)]
+            yield {k: jnp.asarray(np.stack([it[k] for it in items]))
+                   for k in items[0]}
+
+
+def emoca_to_coeff3dmm(emoca: np.ndarray,
+                       crop: "np.ndarray | None" = None) -> np.ndarray:
+    """Embed EMOCA (T, 56) pose+exp coefficients into the 260-d Deep3DFace
+    layout the LMDB pipeline stores: exp -> [80:130] (of the 64-wide exp
+    slot), pose[:3] -> angles [224:227], pose[3:6] -> translation [254:257],
+    optional crop (T, 3) -> [257:260]. The inverse of VoxLmdbDataset's
+    slicing for the dimensions EMOCA populates."""
+    emoca = np.asarray(emoca, np.float32)
+    t = emoca.shape[0]
+    out = np.zeros((t, 260), np.float32)
+    out[:, 80:80 + emoca.shape[1] - 6] = emoca[:, 6:]
+    out[:, 224:227] = emoca[:, 0:3]
+    out[:, 254:257] = emoca[:, 3:6]
+    if crop is not None:
+        out[:, 257:260] = np.asarray(crop, np.float32)
+    return out
+
+
+def write_vox_lmdb(root: str, clips: Dict[str, Dict], resolution: int = 256,
+                   test_names: Sequence[str] = (), img_format: str = "jpeg"):
+    """Write clips into the reference's prepared-data layout
+    (``prepare_vox_lmdb.py:120-143``): an LMDB env at ``{root}/{resolution}``
+    plus train/test list files.
+
+    clips: ``{video_name: {'frames': (T, H, W, 3) in [-1, 1] or uint8,
+    'coeff_3dmm': (T, 260) float32}}`` (use ``emoca_to_coeff3dmm`` to build
+    the 260-d rows from EMOCA 56-d exports).
+    """
+    from io import BytesIO
+
+    from PIL import Image
+
+    from ..utils.lmdb_lite import format_for_lmdb, write_lmdb
+
+    os.makedirs(root, exist_ok=True)
+    items = [(format_for_lmdb("length"), format_for_lmdb(len(clips)))]
+    for name, clip in clips.items():
+        frames = np.asarray(clip["frames"])
+        if frames.dtype != np.uint8:
+            frames = ((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+        items.append((format_for_lmdb(name, "length"),
+                      format_for_lmdb(len(frames))))
+        for fi, frame in enumerate(frames):
+            img = Image.fromarray(frame)
+            if img.size != (resolution, resolution):
+                img = img.resize((resolution, resolution), Image.BICUBIC)
+            buf = BytesIO()
+            img.save(buf, format=img_format)
+            items.append((format_for_lmdb(name, fi), buf.getvalue()))
+        coeff = np.ascontiguousarray(clip["coeff_3dmm"], np.float32)
+        items.append((format_for_lmdb(name, "coeff_3dmm"), coeff.tobytes()))
+    write_lmdb(os.path.join(root, str(resolution)), items)
+    test_set = set(test_names)
+    for fname, keep in (("train_list.txt", lambda n: n not in test_set),
+                        ("test_list.txt", lambda n: n in test_set)):
+        with open(os.path.join(root, fname), "w") as f:
+            for name in clips:
+                if keep(name):
+                    f.write(name + "\n")
+
+
 def load_coeff_dir_clip(clip_dir: str, pose_first: bool = True) -> np.ndarray:
     """Read an exported EMOCA coefficient dir ({frame}/pose.npy, exp.npy, ...)
     back into (T, 56+) coefficients - the inference input format
@@ -137,7 +285,7 @@ def load_clip_dirs(root: str, frames_subdir: str = "frames",
                        .resize((resolution, resolution)), np.float32)
             / 127.5 - 1.0
             for f in names[:n]])
-        clips.append({"frames": frames, "coeffs": coeffs[:n]})
+        clips.append({"name": clip_id, "frames": frames, "coeffs": coeffs[:n]})
         if max_clips and len(clips) >= max_clips:
             break
     return clips
