@@ -182,12 +182,16 @@ class StreamingCoeffDecoder:
 
     ``decode_fn(tokens (B, capacity*fq), n_tokens (B,)) -> (B, capacity, C)``
     abstracts the model so listener (fq=1) and speaker (fq=8) heads both
-    plug in; see ``listener_decode_fn``.
+    plug in; see ``listener_decode_fn``.  Pass ``coeff_dim`` (the decoded
+    coefficient dimension C) so pre-decode empty emissions have the real
+    trailing dim and concatenate cleanly with later pushes; without it the
+    first empty emissions use a placeholder dim of 1 and must be filtered
+    out before concatenation.
     """
 
     def __init__(self, decode_fn, *, batch: int, capacity: int,
                  lookahead: Optional[int] = 8, granularity: int = 1,
-                 tokens_per_frame: int = 1):
+                 tokens_per_frame: int = 1, coeff_dim: Optional[int] = None):
         self.decode_fn = decode_fn
         self.batch = batch
         self.capacity = capacity
@@ -196,7 +200,7 @@ class StreamingCoeffDecoder:
         self.fq = tokens_per_frame
         self._tokens = np.zeros((batch, 0), np.int32)
         self._emitted = 0
-        self._coeff_dim = 1
+        self._coeff_dim = coeff_dim or 1
 
     @property
     def latency_frames(self) -> int:
@@ -213,9 +217,11 @@ class StreamingCoeffDecoder:
         """tokens (B, n*fq) newly generated codes; returns newly finalized
         coefficient frames (B, m, C)."""
         tokens = np.asarray(tokens, np.int32)
-        self._tokens = np.concatenate([self._tokens, tokens], axis=1)
-        if self._tokens.shape[1] > self.capacity * self.fq:
+        # validate BEFORE mutating: an overflowing push must leave the
+        # decoder state intact so the caller can catch and flush
+        if self._tokens.shape[1] + tokens.shape[1] > self.capacity * self.fq:
             raise ValueError("token capacity exceeded; raise capacity")
+        self._tokens = np.concatenate([self._tokens, tokens], axis=1)
         if self.lookahead is None:
             return self._empty()
         # frame t finalizes once H(t) = round_up(t+la+1, g) frames exist
@@ -259,14 +265,25 @@ class StreamingCoeffDecoder:
         return np.zeros((self.batch, 0, self._coeff_dim), np.float32)
 
 
+# one jitted decode per MODEL, shared by every decoder/pipeline built on it:
+# a fresh jit closure per call would recompile the masked VQ decode each
+# time (tens of seconds to minutes on this platform).  Keyed by id() with
+# the model kept alive in the value so ids can't be recycled.
+_LISTENER_DECODE_CACHE: Dict[int, tuple] = {}
+
+
 def listener_decode_fn(model: SLMFT, params):
-    """Fixed-capacity masked listener-VQ decode (jitted once)."""
+    """Fixed-capacity masked listener-VQ decode (jitted once per model)."""
+    cached = _LISTENER_DECODE_CACHE.get(id(model))
+    if cached is None or cached[0] is not model:
+        @jax.jit
+        def _decode(params, toks, n_tok):
+            return model.apply(params, toks, lengths=n_tok,
+                               method=SLMFT.decode_tokens_to_motion)
 
-    @jax.jit
-    def _decode(params, toks, n_tok):
-        return model.apply(params, toks, lengths=n_tok,
-                           method=SLMFT.decode_tokens_to_motion)
-
+        cached = (model, _decode)
+        _LISTENER_DECODE_CACHE[id(model)] = cached
+    _decode = cached[1]
     return lambda toks, n_tok: _decode(params, toks, n_tok)
 
 
@@ -378,7 +395,8 @@ class StreamingAvatarPipeline:
         self.decoder = StreamingCoeffDecoder(
             listener_decode_fn(session.model, session.params),
             batch=b, capacity=session.max_tokens, lookahead=vq_lookahead,
-            granularity=vq_granularity)
+            granularity=vq_granularity,
+            coeff_dim=session.model.vq_cfg.in_dim)
         self.smoother = StreamingSmoother(smooth_window, edge_mode)
         self.windower = StreamingSemanticWindower(semantic_radius)
         self.renderer = None

@@ -137,7 +137,11 @@ def main(argv=None):
           f"(render compile included): {time.time() - t0:.1f}s")
 
     rounds, rendered = [], 0
-    budget = (args.max_frames - pipe.session.frames_fed) // c - 1
+    # leave room for the per-stage breakdown round below: the decoder cache
+    # also holds the 1-token prompt (max_tokens == max_frames), so budget
+    # against max_frames - prompt_len, not max_frames
+    prompt_len = pipe.prompt.shape[1]
+    budget = (args.max_frames - pipe.session.frames_fed - prompt_len) // c - 1
     for _ in range(min(args.rounds, budget)):
         t0 = time.perf_counter()
         out = pipe.push(sp, au)
