@@ -495,6 +495,8 @@ def run_render_prep_lmdb(args) -> str:
             videos=None, coeffs=None, resolution=args.resolution,
             pose_dims=6)
         args.clips = run_render_prep(sub_args)
+    if not args.clips:
+        raise SystemExit("pass --clips <render-prep tree> or --synthetic")
     raw = load_clip_dirs(args.clips, resolution=args.resolution)
     clips = {c["name"]: {"frames": c["frames"],
                          "coeff_3dmm": emoca_to_coeff3dmm(c["coeffs"][:, :56])}

@@ -49,6 +49,57 @@ def _synthetic_inputs(root: str, resolution: int, frames: int = 6):
     return src, coeff_dir
 
 
+def _video_reenactment(args, logger):
+    """Twin of the reference demo entry (Pirender/inference.py:62-125):
+    same-id or --cross-id reenactment videos from prepared VoxCeleb data."""
+    from ..render.data import VoxVideoDataset
+    from ..render.inference import render_video_reenactment
+
+    if not args.vox_root:
+        raise SystemExit("--video needs --vox-root <prepared LMDB root>")
+    ds = VoxVideoDataset(args.vox_root, resolution=args.resolution,
+                         semantic_radius=args.semantic_radius,
+                         cross_id=args.cross_id)
+    # LMDB semantics are the 73-d Deep3DFace slice (vox_dataset.py:438-450)
+    if args.torch_checkpoint:
+        import torch
+
+        from ..render.import_torch import torch_face_generator_to_flax
+
+        payload = torch.load(args.torch_checkpoint, map_location="cpu",
+                             weights_only=False)
+        sd = payload
+        if isinstance(payload, dict) and not any(
+                k.startswith("mapping_net") for k in payload):
+            sd = payload.get("net_G_ema") or payload.get("net_G") or payload
+        params = torch_face_generator_to_flax(sd)
+        ckpt_nc = params["mapping_net"]["pre"]["kernel"].shape[1]
+        model = FaceGenerator(flame_coeff_nc=ckpt_nc, coeff_nc=73)
+    elif args.checkpoint:
+        model = FaceGenerator(flame_coeff_nc=73, coeff_nc=73,
+                              descriptor_nc=32 if args.synthetic else 256,
+                              mapping_layers=2 if args.synthetic else 3)
+        payload = load_checkpoint(args.checkpoint)["params"]
+        params = payload.get("net_G_ema", payload)
+    else:
+        model = FaceGenerator(flame_coeff_nc=73, coeff_nc=73,
+                              descriptor_nc=32 if args.synthetic else 256,
+                              mapping_layers=2 if args.synthetic else 3)
+        sem_w = 2 * args.semantic_radius + 1
+        dummy = (np.zeros((1, args.resolution, args.resolution, 3),
+                          np.float32),
+                 np.zeros((1, 73, sem_w), np.float32))
+        params = model.init(jax.random.PRNGKey(0), *dummy)["params"]
+        logger.warning("no --checkpoint: rendering with a random generator")
+    written = render_video_reenactment(model, params, ds, args.out,
+                                       batch_size=args.batch_size,
+                                       max_videos=args.max_videos,
+                                       logger=logger)
+    logger.info(f"wrote {len(written)} reenactment video(s) under {args.out} "
+                f"(cross_id={args.cross_id})")
+    return written
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="PIRender inference")
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -64,8 +115,25 @@ def main(argv=None):
     parser.add_argument("--coeff-nc", type=int, default=58)
     parser.add_argument("--semantic-radius", type=int, default=13)
     parser.add_argument("--synthetic", action="store_true")
+    # video reenactment demo (reference: Pirender/inference.py:60-125)
+    parser.add_argument("--video", action="store_true",
+                        help="whole-video reenactment over a prepared "
+                             "VoxCeleb LMDB root (--vox-root): writes "
+                             "gt|warp|fake side-by-side videos")
+    parser.add_argument("--vox-root", type=str, default=None,
+                        help="prepared LMDB root ({root}/{res} env + "
+                             "test_list.txt)")
+    parser.add_argument("--cross-id", action="store_true",
+                        help="drive a random other person's source frame "
+                             "(with crop renormalization)")
+    parser.add_argument("--max-videos", type=int, default=0,
+                        help="cap on rendered test videos (0 = all)")
+    parser.add_argument("--batch-size", type=int, default=8)
     args = parser.parse_args(argv)
     logger = setup(args)
+
+    if args.video:
+        return _video_reenactment(args, logger)
 
     if args.synthetic and (args.source_image is None or args.coeff_dir is None):
         args.source_image, args.coeff_dir = _synthetic_inputs(

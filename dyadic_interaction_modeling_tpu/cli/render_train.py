@@ -39,7 +39,23 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="PIRender training")
     parser.add_argument("--save-path", type=str, default="./runs_pirender")
     parser.add_argument("--data-root", type=str, default=None,
-                        help="dir of clip dirs, each with frames/ + coeffs/")
+                        help="dir of clip dirs, each with frames/ + coeffs/; "
+                             "or a prepared LMDB root; or (with --feat-root) "
+                             "the VoxDataset_LM frame-dir root")
+    parser.add_argument("--feat-root", type=str, default=None,
+                        help="per-clip .pkl coefficient dir - selects the "
+                             "reference's VoxDataset_LM dir layout "
+                             "(vox_dataset.py:21-168); --data-root is then "
+                             "the person/clip frame-dir root")
+    parser.add_argument("--frame-dir-prefix", type=str, default="",
+                        help="feat-name -> frame-dir prefix "
+                             "('vid_vico_videos_' for the ViCo mode_split=2 "
+                             "layout, vox_dataset.py:252)")
+    parser.add_argument("--no-decapirender", action="store_true",
+                        help="VoxDataset_LM: emit [exp, pose] (56-d) instead "
+                             "of the shipped [exp, 0, 0, pose] 58-d layout "
+                             "(face.yaml decapirender: 1)")
+    parser.add_argument("--minimal-sample-distance", type=int, default=1)
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--resolution", type=int, default=64)
     parser.add_argument("--coeff-nc", type=int, default=58)
@@ -85,6 +101,24 @@ def main(argv=None):
                                       coeff_dim=args.coeff_nc,
                                       semantic_radius=args.semantic_radius)
         desc_nc, mapping_layers = 32, 2
+    elif args.feat_root:
+        # the reference's ViCo render-finetune layout: person/clip frame
+        # dirs + per-clip pkl coefficient files (VoxDataset_LM)
+        from ..render.data import VoxLMDirDataset
+
+        if not args.data_root:
+            raise SystemExit("--feat-root needs --data-root <frame-dir root>")
+        ds = VoxLMDirDataset(
+            args.data_root, args.feat_root, resolution=args.resolution,
+            semantic_radius=args.semantic_radius,
+            decapirender=not args.no_decapirender,
+            minimal_sample_distance=args.minimal_sample_distance,
+            multiplier=args.lmdb_multiplier,
+            frame_dir_prefix=args.frame_dir_prefix)
+        args.coeff_nc = ds[0]["source_semantics"].shape[0]
+        desc_nc, mapping_layers = 256, 3
+        logger.info(f"VoxDataset_LM layout: {len(set(ds.person_ids))} clips, "
+                    f"coeff_nc={args.coeff_nc}")
     elif args.data_root and os.path.isfile(
             os.path.join(args.data_root, "train_list.txt")):
         # the reference's prepared-VoxCeleb LMDB layout (prepare_vox_lmdb.py)

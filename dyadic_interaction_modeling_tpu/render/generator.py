@@ -54,9 +54,13 @@ class LayerNorm2d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
-        h = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        # stats in fp32 even under a bf16 compute dtype: mean/var over
+        # 256*256*C elements lose precision in bf16 accumulation, and the
+        # cast is a no-op for fp32 inputs
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        h = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
         w = self.param("weight", nn.initializers.ones, (self.n_out,))
         b = self.param("bias", nn.initializers.zeros, (self.n_out,))
         return h * w.astype(x.dtype) + b.astype(x.dtype)
@@ -70,9 +74,11 @@ class ADAIN(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, z: Array) -> Array:
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        normalized = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        # instance-norm stats in fp32 (no-op for fp32 inputs; see LayerNorm2d)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2), keepdims=True)
+        normalized = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
         z = z.reshape(z.shape[0], -1)
         h = nn.relu(nn.Dense(128, dtype=self.dtype, name="mlp_shared")(z))
         gamma = nn.Dense(self.norm_nc, dtype=self.dtype, name="mlp_gamma")(h)
@@ -211,6 +217,9 @@ class WarpingNet(nn.Module):
             input_image, descriptor, train)
         h = LayerNorm2d(h.shape[-1], dtype=self.dtype, name="flow_norm")(h)
         flow = _conv(2, 7, 1, "SAME", "flow_conv", self.dtype)(LRELU(h))
+        # the flow field / sampling grid must be fp32: bf16 coordinates on a
+        # 256-px grid have ~1-px quantization, which visibly degrades the warp
+        flow = flow.astype(jnp.float32)
         deformation = convert_flow_to_deformation(flow)
         return {"flow_field": flow,
                 "warp_image": warp_image(input_image, deformation)}
@@ -293,13 +302,20 @@ class FaceGenerator(nn.Module):
     mapping_layers: int = 3
     use_spect: bool = False
     dtype: jnp.dtype = jnp.float32
+    # warp_dtype overrides the WarpingNet compute dtype (None = ``dtype``).
+    # ``dtype=bf16, warp_dtype=f32`` is the mixed-precision serving config:
+    # the flow path stays exact (bf16 hourglass activations cost ~2% relative
+    # flow error, visible on high-gradient sources) while the EditingNet -
+    # the bulk of the 256x256 conv FLOPs - runs bf16.
+    warp_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.mapping_net = MappingNet(self.flame_coeff_nc, self.coeff_nc,
                                       self.descriptor_nc, self.mapping_layers,
                                       dtype=self.dtype)
         self.warpping_net = WarpingNet(self.descriptor_nc,
-                                       use_spect=self.use_spect, dtype=self.dtype)
+                                       use_spect=self.use_spect,
+                                       dtype=self.warp_dtype or self.dtype)
         self.editing_net = EditingNet(self.descriptor_nc,
                                       use_spect=self.use_spect, dtype=self.dtype)
 

@@ -44,6 +44,92 @@ def render_clip(model: FaceGenerator, params, source_image: np.ndarray,
             "warp_image": np.concatenate(warps)}
 
 
+def render_windows(model: FaceGenerator, params, source_image: np.ndarray,
+                   windows: np.ndarray, batch_size: int = 8
+                   ) -> Dict[str, np.ndarray]:
+    """Render precomputed (T, C, W) semantic windows against one source
+    frame (the VoxVideoDataset contract). Pads the last block so one jitted
+    program serves every clip length."""
+    t = windows.shape[0]
+
+    @jax.jit
+    def fwd(params, imgs, sems):
+        out = model.apply({"params": params}, imgs, sems)
+        return out["fake_image"], out["warp_image"]
+
+    src = jnp.tile(jnp.asarray(source_image)[None], (batch_size, 1, 1, 1))
+    fakes, warps = [], []
+    for i in range(0, t, batch_size):
+        block = windows[i: i + batch_size]
+        n = block.shape[0]
+        if n < batch_size:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], batch_size - n, axis=0)])
+        fake, warp = fwd(params, src, jnp.asarray(block))
+        fakes.append(np.asarray(fake)[:n])
+        warps.append(np.asarray(warp)[:n])
+    return {"fake_image": np.concatenate(fakes),
+            "warp_image": np.concatenate(warps)}
+
+
+def to_uint8_video(video: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) in [-1, 1] -> uint8, the write2video conversion
+    (Pirender/inference.py:44-46; clipped here - the reference clamps
+    fake/warp upstream and trusts gt to be in range)."""
+    return ((np.clip(video, -1, 1) + 1) / 2.0 * 255.0).astype(np.uint8)
+
+
+def write_reenactment_video(out_base: str, *videos: np.ndarray,
+                            fps: int = 15) -> str:
+    """Twin of ``write2video`` (Pirender/inference.py:40-60): concatenate
+    the given (T, H, W, 3) videos side by side (reference order: gt, warp,
+    fake) and write ``{out_base}.mp4`` at 15 fps via cv2, falling back to a
+    ``{out_base}/`` PNG frame dir when cv2 is absent (this image has no
+    OpenCV). Returns the path written."""
+    cat = np.concatenate([to_uint8_video(v) for v in videos], axis=2)
+    try:
+        import cv2  # pragma: no cover - not in this image
+
+        out_name = out_base + ".mp4"
+        h, w = cat.shape[1:3]
+        out = cv2.VideoWriter(out_name, cv2.VideoWriter_fourcc(*"mp4v"),
+                              fps, (w, h))
+        for frame in cat:
+            out.write(frame[:, :, ::-1])
+        out.release()
+        return out_name
+    except ImportError:
+        from PIL import Image
+
+        os.makedirs(out_base, exist_ok=True)
+        for i, frame in enumerate(cat):
+            Image.fromarray(frame).save(os.path.join(out_base, f"{i:05d}.png"))
+        return out_base
+
+
+def render_video_reenactment(model: FaceGenerator, params, dataset,
+                             out_dir: str, batch_size: int = 8,
+                             max_videos: int = 0, logger=None) -> list:
+    """The reenactment demo loop (Pirender/inference.py:99-125): for each
+    test video render every frame from the (same- or cross-id) source frame
+    and write a gt|warp|fake side-by-side video. ``dataset`` is a
+    ``render.data.VoxVideoDataset``. Returns the written paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    n = len(dataset) if not max_videos else min(max_videos, len(dataset))
+    for _ in range(n):
+        data = dataset.load_next_video()
+        out = render_windows(model, params, data["source_image"],
+                             data["target_semantics"], batch_size=batch_size)
+        path = write_reenactment_video(
+            os.path.join(out_dir, data["video_name"].replace("/", "_")),
+            data["target_images"], out["warp_image"], out["fake_image"])
+        if logger:
+            logger.info(f"write results to video {path}")
+        written.append(path)
+    return written
+
+
 def render_coeff_dir(model: FaceGenerator, params, source_image: np.ndarray,
                      clip_dir: str, out_dir: Optional[str] = None,
                      semantic_radius: int = 13) -> Dict[str, np.ndarray]:

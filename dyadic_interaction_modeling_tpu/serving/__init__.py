@@ -8,11 +8,13 @@ from .avatar import (
     StreamingSemanticWindower,
     StreamingSmoother,
 )
+from .fused import FusedAvatarPipeline
 from .pool import StreamingSessionPool
 from .speaker import StreamingSpeakerSession
 from .streaming import StreamingListenerSession
 
-__all__ = ["StreamingAudioFrontend", "StreamingAvatarPipeline",
+__all__ = ["FusedAvatarPipeline", "StreamingAudioFrontend",
+           "StreamingAvatarPipeline",
            "StreamingCoeffDecoder", "StreamingListenerSession",
            "StreamingRenderer", "StreamingSemanticWindower",
            "StreamingSessionPool", "StreamingSmoother",

@@ -265,25 +265,23 @@ class StreamingCoeffDecoder:
         return np.zeros((self.batch, 0, self._coeff_dim), np.float32)
 
 
-# one jitted decode per MODEL, shared by every decoder/pipeline built on it:
-# a fresh jit closure per call would recompile the masked VQ decode each
-# time (tens of seconds to minutes on this platform).  Keyed by id() with
-# the model kept alive in the value so ids can't be recycled.
-_LISTENER_DECODE_CACHE: Dict[int, tuple] = {}
-
-
 def listener_decode_fn(model: SLMFT, params):
-    """Fixed-capacity masked listener-VQ decode (jitted once per model)."""
-    cached = _LISTENER_DECODE_CACHE.get(id(model))
-    if cached is None or cached[0] is not model:
+    """Fixed-capacity masked listener-VQ decode (jitted once per model).
+
+    The jitted closure is memoized ON the model instance (a fresh jit
+    closure per pipeline would recompile the masked VQ decode each time -
+    tens of seconds to minutes on this platform) so the cache entry and its
+    compiled executables are garbage-collected with the model, instead of
+    pinning every model ever used in a module-level dict."""
+    _decode = getattr(model, "_dim_tpu_decode_jit", None)
+    if _decode is None:
         @jax.jit
         def _decode(params, toks, n_tok):
             return model.apply(params, toks, lengths=n_tok,
                                method=SLMFT.decode_tokens_to_motion)
 
-        cached = (model, _decode)
-        _LISTENER_DECODE_CACHE[id(model)] = cached
-    _decode = cached[1]
+        # flax Modules are frozen dataclasses; bypass for a private memo attr
+        object.__setattr__(model, "_dim_tpu_decode_jit", _decode)
     return lambda toks, n_tok: _decode(params, toks, n_tok)
 
 
@@ -298,18 +296,36 @@ class StreamingRenderer:
     ``as_uint8`` converts to display bytes ON DEVICE with the PNG-export
     formula ``(clip(x,-1,1)+1)*127.5`` (render/inference.py): together they
     cut device->host traffic 8x, which dominates the serving round on any
-    bandwidth-constrained link."""
+    bandwidth-constrained link.
+
+    ``pipeline_depth=1`` double-buffers the OUTPUT transfer: ``push``
+    dispatches this round's render and materializes the PREVIOUS round's
+    frames, so the device->host copy of round ``t`` overlaps the device
+    compute of round ``t+1`` instead of serializing after it (jax dispatch
+    is async; only ``np.asarray`` blocks). Costs ``frames_per_call`` frames
+    of extra latency; the total emitted stream is unchanged (``flush``
+    drains the buffer). Worth it whenever the link is slow relative to the
+    render - which is every round on the axon tunnel (~20 MB/s: the 8-frame
+    uint8 block alone is ~75 ms) and still a win on PCIe at high fps."""
 
     def __init__(self, model, params, source_images: np.ndarray, *,
                  frames_per_call: int = 8,
-                 outputs=("fake_image", "warp_image"), as_uint8: bool = False):
+                 outputs=("fake_image", "warp_image"), as_uint8: bool = False,
+                 pipeline_depth: int = 0):
         self.model = model
         self.params = params
         self.batch = source_images.shape[0]
         self.frames_per_call = frames_per_call
         self.outputs = tuple(outputs)
         self.as_uint8 = as_uint8
+        self.pipeline_depth = pipeline_depth
+        self._inflight: List[tuple] = []   # (device result dict, n_valid)
         self._src = jnp.asarray(source_images)          # (B, H, W, 3)
+        # the source tile is identical every round: build it once instead of
+        # dispatching a per-round device-side tile (saves one tunnel call)
+        r = frames_per_call
+        self._imgs = jnp.tile(self._src[:, None], (1, r, 1, 1, 1)).reshape(
+            self.batch * r, *self._src.shape[1:])
         self._pending: List[np.ndarray] = []            # each (B, C, W)
 
         @jax.jit
@@ -342,9 +358,12 @@ class StreamingRenderer:
             block = block + [block[-1]] * (r - n_valid)   # flush padding
             sems = jnp.asarray(np.stack(block, axis=1).reshape(
                 self.batch * r, *block[0].shape[1:]))
-            imgs = jnp.tile(self._src[:, None], (1, r, 1, 1, 1)).reshape(
-                self.batch * r, *self._src.shape[1:])
-            res = self._render_fn(self.params, imgs, sems)
+            # async dispatch: res holds device arrays, nothing blocks yet
+            self._inflight.append(
+                (self._render_fn(self.params, self._imgs, sems), n_valid))
+        keep = 0 if final else self.pipeline_depth
+        while len(self._inflight) > keep:
+            res, n_valid = self._inflight.pop(0)
             for k in self.outputs:
                 x = np.asarray(res[k]).reshape(
                     self.batch, r, *res[k].shape[1:])
@@ -386,7 +405,7 @@ class StreamingAvatarPipeline:
                  render_params=None, source_images=None,
                  render_frames_per_call: int = 8,
                  render_outputs=("fake_image", "warp_image"),
-                 render_uint8: bool = False):
+                 render_uint8: bool = False, render_pipeline_depth: int = 0):
         self.session = session
         b = session.batch
         self.prompt = (np.zeros((b, 1), np.int32) if prompt is None
@@ -404,13 +423,17 @@ class StreamingAvatarPipeline:
             self.renderer = StreamingRenderer(
                 renderer, render_params, np.asarray(source_images),
                 frames_per_call=render_frames_per_call,
-                outputs=render_outputs, as_uint8=render_uint8)
+                outputs=render_outputs, as_uint8=render_uint8,
+                pipeline_depth=render_pipeline_depth)
 
     @property
     def latency_frames(self) -> int:
         """Added pipeline latency beyond the session's chunk cadence."""
+        render_lag = (0 if self.renderer is None else
+                      self.renderer.pipeline_depth
+                      * self.renderer.frames_per_call)
         return (self.decoder.latency_frames + self.smoother.latency_frames
-                + self.windower.latency_frames)
+                + self.windower.latency_frames + render_lag)
 
     def push(self, speaker_chunk, audio_chunk,
              n_valid: Optional[int] = None) -> Dict[str, np.ndarray]:

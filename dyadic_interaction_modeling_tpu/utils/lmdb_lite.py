@@ -241,7 +241,13 @@ class LmdbWriter:
         else:
             self.file = path
         self.psize = psize
-        # liblmdb: me_nodemax = (psize - PAGEHDRSZ) / MDB_MINKEYS & -2
+        # liblmdb's inline threshold is me_nodemax = ((psize - PAGEHDRSZ)
+        # / MDB_MINKEYS(=2)) & -2; we deliberately use HALF that (//4): values
+        # in (~1020, ~2038] bytes go to overflow pages where liblmdb would
+        # inline them. Readers don't care (F_BIGDATA is self-describing,
+        # both liblmdb and LmdbReader follow the flag) - the conservative
+        # threshold just trades a little compactness for never overfilling
+        # a leaf.
         self.nodemax = ((psize - PAGEHDRSZ) // 4) & ~1
 
     def write(self, items: Iterable[Tuple[bytes, bytes]]):

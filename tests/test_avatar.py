@@ -286,6 +286,36 @@ def test_streaming_renderer_uint8_serving_outputs():
     assert diff.max() <= 1
 
 
+def test_streaming_renderer_pipelined_output():
+    """pipeline_depth=1 double-buffers the output transfer: per-push
+    emissions lag one render call behind, the concatenated stream
+    (pushes + flush) is IDENTICAL to the unpipelined renderer."""
+    from dyadic_interaction_modeling_tpu.serving import StreamingRenderer
+
+    radius = 6
+    model, params, src = _tiny_renderer(batch=1, res=16, radius=radius)
+    rng = np.random.default_rng(11)
+    windows = [rng.normal(size=(1, 56, 2 * radius + 1)).astype(np.float32)
+               for _ in range(7)]
+
+    r0 = StreamingRenderer(model, params, src, frames_per_call=2,
+                           outputs=("fake_image",))
+    r1 = StreamingRenderer(model, params, src, frames_per_call=2,
+                           outputs=("fake_image",), pipeline_depth=1)
+    outs0, outs1 = [], []
+    for w in windows:
+        outs0.append(r0.push([w])["fake_image"])
+        outs1.append(r1.push([w])["fake_image"])
+    outs0.append(r0.flush()["fake_image"])
+    outs1.append(r1.flush()["fake_image"])
+    # the pipelined stream lags exactly one frames_per_call block: after 4
+    # windows the plain renderer emitted 2 blocks, the pipelined one 1
+    assert sum(o.shape[1] for o in outs0[:4]) == 4
+    assert sum(o.shape[1] for o in outs1[:4]) == 2
+    np.testing.assert_array_equal(np.concatenate(outs0, axis=1),
+                                  np.concatenate(outs1, axis=1))
+
+
 def test_avatar_pipeline_bounded_lookahead_counts():
     model, params, v_s, v_a = _tiny_slmft(b=2)
     sess = StreamingListenerSession(model, params, batch=2, chunk=4,
