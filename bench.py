@@ -335,14 +335,16 @@ def measure_serving(model, params) -> dict:
     au = rng.standard_normal((b, c, model.cfg.dim_audio), dtype=np.float32)
     sess.feed(sp, au)                       # compile
     sess.start(np.zeros((b, 1), np.int32))  # compile
-    sess.generate(c)                        # compile
+    sess.round(sp, au)                      # compile (fused serving round)
 
     def measure_rounds(n_rounds):
+        # the production hot loop: session.round() fuses feed+generate into
+        # ONE device program (round-5; equivalence-pinned in
+        # tests/test_streaming.py), saving a ~25 ms dispatch per round
         rounds = []
         for _ in range(n_rounds):
             t0 = time.perf_counter()
-            sess.feed(sp, au)
-            sess.generate(c)
+            sess.round(sp, au)
             rounds.append(time.perf_counter() - t0)
         rounds.sort()
         return rounds[len(rounds) // 2]

@@ -255,6 +255,12 @@ def slm_defaults() -> CfgNode:
         dec_depth=4,
         dec_heads=12,
         dec_max_seq_len=2048,
+        # per-head width of every encoder/decoder attention. 64 matches the
+        # reference's x-transformers default (checkpoint-compatible); on TPU
+        # the 128-wide MXU lane makes heads=6 x attn_dim_head=128 1.57x
+        # faster on the joint pass at identical FLOPs (PERF.md round-5 shape
+        # experiment) - a from-scratch training knob, not a parity one.
+        attn_dim_head=64,
         num_tokens=512,
         mask_ratio=0.15,
         contrastive_temp=0.05,

@@ -132,8 +132,10 @@ class _SLMBase(CfgModule):
         assert c.num_tokens == self.vq_cfg.n_embed, (
             f"decoder vocab ({c.num_tokens}) must equal the VQ codebook size "
             f"({self.vq_cfg.n_embed}) - the decoder predicts VQ code indices")
+        dh = getattr(c, "attn_dim_head", 64)
         enc = dict(dim=c.dim, dim_out=c.dim, max_seq_len=c.enc_max_seq_len,
-                   depth=c.enc_depth, heads=c.enc_heads, dtype=self.dtype)
+                   depth=c.enc_depth, heads=c.enc_heads, dim_head=dh,
+                   dtype=self.dtype)
         self.encoder_s = ContinuousTransformerWrapper(**enc)
         self.encoder_l = ContinuousTransformerWrapper(**enc)
         self.encoder_joint = ContinuousTransformerWrapper(**enc)
@@ -151,7 +153,7 @@ class _SLMBase(CfgModule):
         self.decoder_joint = TokenDecoder(
             num_tokens=c.num_tokens, dim=c.dim + c.dim_audio,
             max_seq_len=c.dec_max_seq_len, depth=c.dec_depth, heads=c.dec_heads,
-            use_abs_pos_emb=dec_use_abs_pos_emb, dtype=self.dtype)
+            dim_head=dh, use_abs_pos_emb=dec_use_abs_pos_emb, dtype=self.dtype)
 
     # --- shared vectorized tokenization (seq2seq_pretrain.py:185-199) ---
 

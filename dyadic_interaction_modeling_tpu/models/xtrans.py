@@ -466,6 +466,7 @@ class ContinuousTransformerWrapper(nn.Module):
     max_seq_len: int
     depth: int
     heads: int
+    dim_head: int = 64
     use_abs_pos_emb: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -475,7 +476,7 @@ class ContinuousTransformerWrapper(nn.Module):
             self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
                                       (self.max_seq_len, self.dim))
         self.layers = EncoderLayers(self.dim, self.depth, self.heads,
-                                    dtype=self.dtype)
+                                    dim_head=self.dim_head, dtype=self.dtype)
         # lazily initialized on first call - absent from the param tree of
         # models that only use return_embeddings=True (as before)
         self.project_out = nn.Dense(self.dim_out, dtype=self.dtype)
@@ -523,6 +524,7 @@ class TokenDecoder(nn.Module):
     max_seq_len: int
     depth: int
     heads: int
+    dim_head: int = 64
     use_abs_pos_emb: bool = True
     dtype: jnp.dtype = jnp.float32
 
@@ -531,7 +533,8 @@ class TokenDecoder(nn.Module):
         if self.use_abs_pos_emb:
             self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
                                       (self.max_seq_len, self.dim))
-        self.layers = DecoderLayers(self.dim, self.depth, self.heads, dtype=self.dtype)
+        self.layers = DecoderLayers(self.dim, self.depth, self.heads,
+                                    dim_head=self.dim_head, dtype=self.dtype)
         self.to_logits = nn.Dense(self.num_tokens, use_bias=False, dtype=self.dtype)
 
     def _embed(self, tokens: Array, offset=0) -> Array:
@@ -684,7 +687,7 @@ def generate_tokens(
 
     cross_kv = decoder.apply(params, context, method=TokenDecoder.cross_kv)
     cache = init_decoder_cache(b, max_len, decoder.depth, decoder.heads,
-                               dtype=decoder.dtype)
+                               dim_head=decoder.dim_head, dtype=decoder.dtype)
 
     def step_fn(token, cache, t):
         return decoder.apply(params, token, cache, t, cross_kv, context_mask,

@@ -101,17 +101,18 @@ class StreamingSessionPool:
         lmax = max_frames + chunk          # + slack for idle-slot writes
         tmax = self.max_tokens + 1
 
+        dh = getattr(c, "attn_dim_head", 64)
         self._enc_s = init_decoder_cache(P, lmax, c.enc_depth, c.enc_heads,
-                                         dtype=dt)
+                                         dim_head=dh, dtype=dt)
         self._enc_j = init_decoder_cache(P, lmax, c.enc_depth, c.enc_heads,
-                                         dtype=dt)
+                                         dim_head=dh, dtype=dt)
         self._cross = {}
         for i in range(c.dec_depth):
-            shape = (P, c.dec_heads, lmax, 64)
+            shape = (P, c.dec_heads, lmax, dh)
             self._cross[f"ck_{i}"] = jnp.zeros(shape, dtype=dt)
             self._cross[f"cv_{i}"] = jnp.zeros(shape, dtype=dt)
         self._dec = init_decoder_cache(P, tmax, c.dec_depth, c.dec_heads,
-                                       dtype=dt)
+                                       dim_head=dh, dtype=dt)
         self._logits = jnp.zeros((P, c.num_tokens), jnp.float32)
         self._keys = jnp.stack([jax.random.PRNGKey(0)] * P)
         if mesh is not None:

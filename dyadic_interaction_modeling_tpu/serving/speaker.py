@@ -66,13 +66,14 @@ class StreamingSpeakerSession:
         self._sids = (None if speaker_ids is None
                       else jnp.asarray(speaker_ids, jnp.int32))
 
+        dh = getattr(c, "attn_dim_head", 64)
         self._cross = {}
         for i in range(c.dec_depth):
-            shape = (batch, c.dec_heads, max_frames, 64)
+            shape = (batch, c.dec_heads, max_frames, dh)
             self._cross[f"ck_{i}"] = jnp.zeros(shape, dtype=dt)
             self._cross[f"cv_{i}"] = jnp.zeros(shape, dtype=dt)
         self._dec = init_decoder_cache(batch, self.max_tokens, c.dec_depth,
-                                       c.dec_heads, dtype=dt)
+                                       c.dec_heads, dim_head=dh, dtype=dt)
         self._t_ctx = jnp.zeros((), jnp.int32)
         self._t_dec = jnp.zeros((), jnp.int32)
         self._logits = None

@@ -23,7 +23,9 @@ the offline protocol cannot express.
 
 All shapes are static: chunk size, context capacity and token capacity are
 fixed at session construction, so the session compiles exactly three
-programs (feed / prompt / generate-n) regardless of stream length.
+programs (feed / prompt / generate-n) regardless of stream length - plus a
+fused feed+generate ``round`` program for the serving hot loop (one
+dispatch per round instead of two; identical math, tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -74,18 +76,19 @@ class StreamingListenerSession:
         self.temperature = temperature
         self.filter_frac = filter_frac
         dt = model.dtype
+        dh = getattr(c, "attn_dim_head", 64)
 
         self._enc_s = init_decoder_cache(batch, max_frames, c.enc_depth,
-                                         c.enc_heads, dtype=dt)
+                                         c.enc_heads, dim_head=dh, dtype=dt)
         self._enc_j = init_decoder_cache(batch, max_frames, c.enc_depth,
-                                         c.enc_heads, dtype=dt)
+                                         c.enc_heads, dim_head=dh, dtype=dt)
         self._cross = {}
         for i in range(c.dec_depth):
-            shape = (batch, c.dec_heads, max_frames, 64)
+            shape = (batch, c.dec_heads, max_frames, dh)
             self._cross[f"ck_{i}"] = jnp.zeros(shape, dtype=dt)
             self._cross[f"cv_{i}"] = jnp.zeros(shape, dtype=dt)
         self._dec = init_decoder_cache(batch, self.max_tokens, c.dec_depth,
-                                       c.dec_heads, dtype=dt)
+                                       c.dec_heads, dim_head=dh, dtype=dt)
         self._t_ctx = jnp.zeros((), jnp.int32)
         self._t_dec = jnp.zeros((), jnp.int32)
         self._logits = None
@@ -155,6 +158,43 @@ class StreamingListenerSession:
 
         self._generate_fn = _generate
 
+        @partial(jax.jit, donate_argnums=(1, 2, 3, 4), static_argnums=(10,))
+        def _round(params, enc_s, enc_j, cross, dec, t_ctx, t_dec, logits,
+                   rng, inputs, n):
+            """feed + generate fused into ONE program: on a dispatch-latency
+            -bound link the separate calls pay two host->device round trips
+            per serving round for no compute benefit."""
+            sp, au, n_valid = inputs
+            ctx, enc_s, enc_j = model.apply(
+                params, sp, au, enc_s, enc_j, t_ctx,
+                method=SLMFT.encode_context_chunk)
+            kv = model.apply(params, ctx, method=SLMFT.stream_cross_kv)
+            cross = dict(cross)
+            for i, (k, v) in enumerate(kv):
+                cross[f"ck_{i}"] = jax.lax.dynamic_update_slice(
+                    cross[f"ck_{i}"], k, (0, 0, t_ctx, 0))
+                cross[f"cv_{i}"] = jax.lax.dynamic_update_slice(
+                    cross[f"cv_{i}"], v, (0, 0, t_ctx, 0))
+            t_ctx = t_ctx + n_valid
+            cross_kv = [(cross[f"ck_{i}"], cross[f"cv_{i}"])
+                        for i in range(c.dec_depth)]
+            mask = _ctx_mask(t_ctx)
+
+            def body(carry, _):
+                logits, dec, rng, t = carry
+                rng, sub = jax.random.split(rng)
+                tok = _sample(logits, sub)
+                new_logits, dec = model.apply(
+                    params, tok[:, None], dec, t, cross_kv, mask,
+                    method=SLMFT.stream_decode_step)
+                return (new_logits, dec, rng, t + 1), tok
+
+            (logits, dec, rng, t_dec), toks = jax.lax.scan(
+                body, (logits, dec, rng, t_dec), None, length=n)
+            return enc_s, enc_j, cross, dec, t_ctx, t_dec, logits, rng, toks.T
+
+        self._round_fn = _round
+
     # ------------------------------------------------------------------
 
     @property
@@ -208,6 +248,36 @@ class StreamingListenerSession:
             self._generate_fn(self.params, self._dec, self._cross,
                               self._t_ctx, self._t_dec, self._logits,
                               self._rng, n)
+        toks = np.asarray(toks)
+        self._tokens.append(toks)
+        return toks
+
+    def round(self, speaker_chunk, audio_chunk, n: Optional[int] = None,
+              n_valid: Optional[int] = None) -> np.ndarray:
+        """One serving round - feed a chunk AND sample ``n`` codes (default
+        ``chunk``) in a SINGLE device program; token-for-token identical to
+        ``feed(...)`` followed by ``generate(n)`` (same cache math, same rng
+        threading), one host->device dispatch cheaper. Requires ``start()``
+        (the prompt is a one-time program; a static branch here would double
+        the compile)."""
+        if self._logits is None:
+            raise ValueError("call feed + start(prompt) before round()")
+        n = self.chunk if n is None else n
+        sp = jnp.asarray(speaker_chunk, dtype=self.model.dtype)
+        au = jnp.asarray(audio_chunk, dtype=self.model.dtype)
+        if sp.shape[1] != self.chunk:
+            raise ValueError(f"round expects chunks of {self.chunk} frames, "
+                             f"got {sp.shape[1]} (pad and pass n_valid)")
+        if int(self._t_ctx) + self.chunk > self.max_frames:
+            raise ValueError("context capacity exceeded; raise max_frames")
+        if int(self._t_dec) + n > self.max_tokens:
+            raise ValueError("token capacity exceeded; raise max_tokens")
+        n_valid = self.chunk if n_valid is None else n_valid
+        (self._enc_s, self._enc_j, self._cross, self._dec, self._t_ctx,
+         self._t_dec, self._logits, self._rng, toks) = self._round_fn(
+            self.params, self._enc_s, self._enc_j, self._cross, self._dec,
+            self._t_ctx, self._t_dec, self._logits, self._rng,
+            (sp, au, jnp.asarray(n_valid, jnp.int32)), n)
         toks = np.asarray(toks)
         self._tokens.append(toks)
         return toks

@@ -92,21 +92,30 @@ def main(argv=None):
     print(f"generate({c}) compile: {time.time() - t0:.1f}s")
     t0 = time.time(); sess.generate(1)
     print(f"generate(1) compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); sess.round(sp, au)
+    print(f"fused round({c}) compile: {time.time() - t0:.1f}s")
 
     rounds = []
+    fused = []
     singles = []
-    budget = args.max_frames // c - 2
+    budget = args.max_frames // c - 4
     for i in range(min(args.rounds, budget)):
         t0 = time.perf_counter()
         sess.feed(sp, au)
         sess.generate(c)
         rounds.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
+        sess.round(sp, au)
+        fused.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         sess.generate(1)
         singles.append(time.perf_counter() - t0)
-    rounds.sort(); singles.sort()
+    rounds.sort(); fused.sort(); singles.sort()
     n = len(rounds)
     print(f"steady state over {n} rounds at context ~{sess.frames_fed} frames:")
+    print(f"  fused round({c}) p50 {fused[n // 2] * 1000:.1f} ms "
+          f"(min {fused[0] * 1000:.1f}, max {fused[-1] * 1000:.1f}) "
+          f"[ONE dispatch: the serving hot loop]")
     print(f"  feed({c})+generate({c}) p50 {rounds[n // 2] * 1000:.1f} ms "
           f"(min {rounds[0] * 1000:.1f}, max {rounds[-1] * 1000:.1f}) "
           f"-> {rounds[n // 2] / c * 1000:.1f} ms/frame vs "
@@ -114,10 +123,11 @@ def main(argv=None):
     print(f"  generate(1) p50 {singles[n // 2] * 1000:.1f} ms "
           f"(min {singles[0] * 1000:.1f}) [~25 ms is tunnel round-trip]")
     if b > 1:
-        per_round = rounds[n // 2]
-        print(f"  serving throughput: {b} lockstep sessions x {c} frames / "
-              f"{per_round * 1000:.1f} ms = {b * c / per_round:,.0f} "
-              f"generated frames/s (+ equal context frames ingested)")
+        per_round = fused[n // 2]
+        print(f"  serving throughput (fused round): {b} lockstep sessions x "
+              f"{c} frames / {per_round * 1000:.1f} ms = "
+              f"{b * c / per_round:,.0f} generated frames/s "
+              f"(+ equal context frames ingested)")
 
 
 def _run_pool(args, model, params, jax, np):

@@ -197,3 +197,53 @@ def test_session_guards():
         raise AssertionError("token capacity overflow must raise")
     except ValueError:
         pass
+
+
+def test_fused_round_equals_feed_then_generate():
+    """session.round() (ONE program: feed + generate) is token-for-token
+    identical to feed(...) then generate(n) - same cache math, same rng
+    threading - for full and short (n_valid) chunks."""
+    model, params, v_s, _, v_a, _ = _slmft_and_inputs(l=16)
+    prompt = np.zeros((2, 1), np.int32)
+
+    def run(fused):
+        sess = StreamingListenerSession(model, params, batch=2, chunk=4,
+                                        max_frames=16, max_tokens=20, rng=9)
+        sess.feed(v_s[:, :4], v_a[:, :4])
+        sess.start(prompt)
+        sess.generate(4)
+        for t in (4, 8):
+            if fused:
+                sess.round(v_s[:, t: t + 4], v_a[:, t: t + 4])
+            else:
+                sess.feed(v_s[:, t: t + 4], v_a[:, t: t + 4])
+                sess.generate(4)
+        # short final chunk
+        pad = jnp.concatenate([v_s[:, 12:14], v_s[:, 12:14]], axis=1)
+        pau = jnp.concatenate([v_a[:, 12:14], v_a[:, 12:14]], axis=1)
+        if fused:
+            sess.round(pad, pau, n=2, n_valid=2)
+        else:
+            sess.feed(pad, pau, n_valid=2)
+            sess.generate(2)
+        assert sess.frames_fed == 14
+        return sess.tokens()
+
+    np.testing.assert_array_equal(run(fused=True), run(fused=False))
+
+    # guards: round() before start(), and capacity checks
+    sess = StreamingListenerSession(model, params, batch=2, chunk=4,
+                                    max_frames=8, max_tokens=6)
+    try:
+        sess.round(v_s[:, :4], v_a[:, :4])
+        raise AssertionError("round() before start() must raise")
+    except ValueError:
+        pass
+    sess.feed(v_s[:, :4], v_a[:, :4])
+    sess.start(prompt)
+    sess.round(v_s[:, 4:8], v_a[:, 4:8])
+    try:
+        sess.round(v_s[:, :4], v_a[:, :4])
+        raise AssertionError("context capacity overflow must raise")
+    except ValueError:
+        pass
