@@ -335,16 +335,20 @@ def measure_serving(model, params) -> dict:
     au = rng.standard_normal((b, c, model.cfg.dim_audio), dtype=np.float32)
     sess.feed(sp, au)                       # compile
     sess.start(np.zeros((b, 1), np.int32))  # compile
-    sess.round(sp, au)                      # compile (fused serving round)
+    sess.generate(c)                        # compile
 
     def measure_rounds(n_rounds):
-        # the production hot loop: session.round() fuses feed+generate into
-        # ONE device program (round-5; equivalence-pinned in
-        # tests/test_streaming.py), saving a ~25 ms dispatch per round
+        # production hot loop at THIS batch: separate feed+generate. The
+        # fused session.round() (one dispatch) was A/B'd on the chip in
+        # round 5: it wins at small batch (the avatar pipeline) but LOSES at
+        # B=128 (264.0 vs 211.8 ms p50, examples/streaming_latency_tpu.py)
+        # - at large B the round is compute-bound and the split programs
+        # schedule better, so the dispatch saving doesn't pay.
         rounds = []
         for _ in range(n_rounds):
             t0 = time.perf_counter()
-            sess.round(sp, au)
+            sess.feed(sp, au)
+            sess.generate(c)
             rounds.append(time.perf_counter() - t0)
         rounds.sort()
         return rounds[len(rounds) // 2]

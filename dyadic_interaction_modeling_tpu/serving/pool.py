@@ -220,6 +220,29 @@ class StreamingSessionPool:
 
         self._generate_fn = _generate
 
+        def _round_one(params, n, enc_s, enc_j, cross, dec, t_feed,
+                       t_ctx_after, t_gen, logits, key, act, sp, au):
+            enc_s, enc_j, cross = _feed_one(params, enc_s, enc_j, cross,
+                                            t_feed, sp, au)
+            dec, logits, key, toks = _generate_one(
+                params, n, dec, cross, t_ctx_after, t_gen, logits, key, act)
+            return enc_s, enc_j, cross, dec, logits, key, toks
+
+        @partial(jax.jit, static_argnums=(1,),
+                 donate_argnums=(2, 3, 4, 5, 9, 10))
+        def _round(params, n, enc_s, enc_j, cross, dec, t_feed, t_ctx_after,
+                   t_gen, logits, keys, act, sp, au):
+            """feed + generate for the SAME slots fused into one program -
+            the continuous-batching hot loop pays one dispatch per round
+            instead of two (see StreamingListenerSession.round)."""
+            return jax.vmap(
+                lambda *a: _round_one(params, n, *a),
+                in_axes=(0,) * 12)(enc_s, enc_j, cross, dec, t_feed,
+                                   t_ctx_after, t_gen, logits, keys, act,
+                                   sp, au)
+
+        self._round_fn = _round
+
     # ------------------------------------------------------------------
     # slot management (host-side bookkeeping only)
 
@@ -333,6 +356,52 @@ class StreamingSessionPool:
             self.params, n, self._dec, self._cross, self._put(self._t_ctx),
             self._put(t), self._logits, self._keys, self._put(act))
         toks = np.asarray(toks)[slots]                    # (n_slots, n)
+        for row, slot in enumerate(slots):
+            self._tokens[slot].append(toks[row])
+        self._t_dec[slots] += n
+        return toks
+
+    def round(self, slots: Sequence[int], speaker_chunks, audio_chunks,
+              n: Optional[int] = None, n_valid=None) -> np.ndarray:
+        """One serving round for the listed slots: feed a chunk AND sample
+        ``n`` codes (default ``chunk``) in a SINGLE device program -
+        token-for-token identical to ``feed(...)`` then ``generate(n)``
+        (tests/test_pool.py). Slots must all have ``start()``ed; use the
+        separate calls for slots that only ingest or only decode."""
+        slots = self._check(slots)
+        n = self.chunk if n is None else n
+        if not self._started[slots].all():
+            raise ValueError("call start(slots, prompts) before round()")
+        sp = np.asarray(speaker_chunks)
+        au = np.asarray(audio_chunks)
+        if sp.shape[0] != slots.size or sp.shape[1] != self.chunk:
+            raise ValueError(f"expected ({slots.size}, {self.chunk}, dim) "
+                             f"chunks, got {sp.shape}")
+        nv = np.broadcast_to(np.asarray(
+            self.chunk if n_valid is None else n_valid, np.int32), slots.shape)
+        if (self._t_ctx[slots] + nv > self.max_frames).any():
+            raise ValueError("context capacity exceeded; raise max_frames")
+        if (self._t_dec[slots] + n > self.max_tokens).any():
+            raise ValueError("token capacity exceeded; raise max_tokens")
+        P = self.capacity
+        sp_buf = np.zeros((P,) + sp.shape[1:], sp.dtype)
+        au_buf = np.zeros((P,) + au.shape[1:], au.dtype)
+        sp_buf[slots], au_buf[slots] = sp, au
+        act = np.zeros(P, bool)
+        act[slots] = True
+        t_feed = np.where(act, self._t_ctx, self.max_frames).astype(np.int32)
+        t_ctx_after = self._t_ctx.copy()
+        t_ctx_after[slots] += nv
+        t_gen = np.where(act, self._t_dec, self.max_tokens).astype(np.int32)
+        (self._enc_s, self._enc_j, self._cross, self._dec, self._logits,
+         self._keys, toks) = self._round_fn(
+            self.params, n, self._enc_s, self._enc_j, self._cross, self._dec,
+            self._put(t_feed), self._put(t_ctx_after.astype(np.int32)),
+            self._put(t_gen), self._logits, self._keys, self._put(act),
+            self._put(sp_buf.astype(self.model.dtype)),
+            self._put(au_buf.astype(self.model.dtype)))
+        self._t_ctx[slots] += nv
+        toks = np.asarray(toks)[slots]
         for row, slot in enumerate(slots):
             self._tokens[slot].append(toks[row])
         self._t_dec[slots] += n

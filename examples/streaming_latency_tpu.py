@@ -123,9 +123,14 @@ def main(argv=None):
     print(f"  generate(1) p50 {singles[n // 2] * 1000:.1f} ms "
           f"(min {singles[0] * 1000:.1f}) [~25 ms is tunnel round-trip]")
     if b > 1:
-        per_round = fused[n // 2]
-        print(f"  serving throughput (fused round): {b} lockstep sessions x "
-              f"{c} frames / {per_round * 1000:.1f} ms = "
+        # measured A/B (round 5): the fused round wins at SMALL batch where
+        # dispatch dominates (the avatar pipeline), but loses at B=128 where
+        # the round is compute-bound - report the better of the two as the
+        # production number
+        per_round = min(fused[n // 2], rounds[n // 2])
+        which = "fused" if fused[n // 2] <= rounds[n // 2] else "split"
+        print(f"  serving throughput ({which} round): {b} lockstep sessions "
+              f"x {c} frames / {per_round * 1000:.1f} ms = "
               f"{b * c / per_round:,.0f} generated frames/s "
               f"(+ equal context frames ingested)")
 
@@ -135,8 +140,9 @@ def _run_pool(args, model, params, jax, np):
     slots feed+generate one chunk AND one stream ends while a fresh caller
     joins at context 0 - so steady state holds genuinely mixed context
     lengths (the workload the lockstep session cannot express). A round is
-    3 device calls (feed / start-the-newcomer / generate) vs lockstep's 2 -
-    ~25 ms extra tunnel floor on this platform."""
+    3 device calls - the fused round() for the surviving slots plus feed +
+    start for the newcomer, which begins decoding the NEXT round (a joining
+    stream naturally waits out its first chunk)."""
     from dyadic_interaction_modeling_tpu.serving import StreamingSessionPool
 
     b, c = args.batch, args.chunk
@@ -155,30 +161,34 @@ def _run_pool(args, model, params, jax, np):
     print(f"prompt compile: {time.time() - t0:.1f}s")
     t0 = time.time(); pool.generate(slots, c)
     print(f"generate({c}) compile: {time.time() - t0:.1f}s")
+    t0 = time.time(); pool.round(slots, sp, au)
+    print(f"fused round({c}) compile: {time.time() - t0:.1f}s")
 
     rounds = []
-    budget = args.max_frames // c - 2
+    budget = args.max_frames // c - 3
     for i in range(min(args.rounds, budget)):
         t0 = time.perf_counter()
-        pool.feed(slots, sp, au)
         victim = i % b
         pool.leave(slots[victim])
         slots[victim] = pool.join(seed=1000 + i)
+        survivors = [s for j, s in enumerate(slots) if j != victim]
+        pool.round(survivors, sp[1:], au[1:])
         pool.feed([slots[victim]], sp[:1], au[:1])
         pool.start([slots[victim]], np.zeros((1, 1), np.int32))
-        pool.generate(slots, c)
         rounds.append(time.perf_counter() - t0)
     rounds.sort()
     n = len(rounds)
     lens = [pool.frames_fed(s) for s in slots]
     print(f"steady state over {n} churn rounds (context lengths now "
           f"{min(lens)}..{max(lens)} frames):")
-    print(f"  feed+churn+generate p50 {rounds[n // 2] * 1000:.1f} ms "
+    print(f"  churn + fused-round + newcomer-prep p50 "
+          f"{rounds[n // 2] * 1000:.1f} ms "
           f"(min {rounds[0] * 1000:.1f}, max {rounds[-1] * 1000:.1f}) vs "
           f"{1000 / 30 * c:.0f} ms real-time budget @30fps")
-    print(f"  pool throughput: {b} mixed-length sessions x {c} frames / "
-          f"{rounds[n // 2] * 1000:.1f} ms = "
-          f"{b * c / rounds[n // 2]:,.0f} generated frames/s")
+    print(f"  pool throughput: {b - 1} decoding mixed-length sessions x {c} "
+          f"frames / {rounds[n // 2] * 1000:.1f} ms = "
+          f"{(b - 1) * c / rounds[n // 2]:,.0f} generated frames/s "
+          f"(+1 stream ingesting its first chunk)")
 
 
 if __name__ == "__main__":

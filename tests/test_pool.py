@@ -216,3 +216,47 @@ def test_pool_guards():
         pool.join()
     pool.leave(b)
     assert pool.join() == b
+
+
+def test_pool_fused_round_equals_feed_then_generate():
+    """pool.round() (ONE program: feed + generate for the same slots) is
+    token-for-token identical to feed(...) then generate(n), including with
+    an idle slot in the pool and a short (n_valid) chunk."""
+    model, params, v_s, _, v_a, _ = _slmft_and_inputs(l=16)
+    prompts = np.array([[0], [1]], np.int32)
+
+    def run(fused):
+        pool = StreamingSessionPool(model, params, capacity=3, chunk=4,
+                                    max_frames=16, max_tokens=20)
+        a = pool.join(seed=5)
+        b = pool.join(seed=9)
+        sl = [a, b]
+        pool.feed(sl, v_s[:, :4], v_a[:, :4])
+        pool.start(sl, prompts)
+        pool.generate(sl, 4)
+        for t in (4, 8):
+            if fused:
+                pool.round(sl, v_s[:, t: t + 4], v_a[:, t: t + 4])
+            else:
+                pool.feed(sl, v_s[:, t: t + 4], v_a[:, t: t + 4])
+                pool.generate(sl, 4)
+        if fused:
+            pool.round(sl, v_s[:, 12:16], v_a[:, 12:16], n=2, n_valid=2)
+        else:
+            pool.feed(sl, v_s[:, 12:16], v_a[:, 12:16], n_valid=2)
+            pool.generate(sl, 2)
+        assert pool.frames_fed(a) == 14
+        return np.stack([pool.tokens(a), pool.tokens(b)])
+
+    np.testing.assert_array_equal(run(fused=True), run(fused=False))
+
+    # guards: round() on a non-started slot
+    pool = StreamingSessionPool(model, params, capacity=2, chunk=4,
+                                max_frames=8, max_tokens=8)
+    a = pool.join()
+    pool.feed([a], v_s[:1, :4], v_a[:1, :4])
+    try:
+        pool.round([a], v_s[:1, 4:8], v_a[:1, 4:8])
+        raise AssertionError("round() before start() must raise")
+    except ValueError:
+        pass
