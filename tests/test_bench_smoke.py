@@ -41,6 +41,10 @@ def tiny_bench(monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "SERVE_MAX", 64)
     monkeypatch.setattr(bench, "CPU_B", 1)
     monkeypatch.setattr(bench, "CPU_L", 8)
+    # tiny fused-avatar section: radius 6 is the 1-layer MappingNet minimum
+    monkeypatch.setattr(bench, "AVATAR", dict(
+        res=16, coeff_nc=24, descriptor_nc=32, mapping_layers=1, radius=6,
+        chunk=4, rounds=2))
     monkeypatch.setattr(bench, "ITERS", 1)
     monkeypatch.setattr(bench, "SLM_CFG_OVERRIDES", TINY_SLM)
     monkeypatch.setattr(bench, "VQ_CFG_OVERRIDES", TINY_VQ)
@@ -82,6 +86,16 @@ def test_measure_serving_accepts_bare_params(tiny_bench):
     assert out["serving_frames_per_sec"] > 0
 
 
+def test_measure_avatar_fused_round(tiny_bench):
+    """Round-5 section: the fused live-avatar round must produce a p50 and
+    a realtime verdict at tiny dims on CPU (driver-artifact coverage)."""
+    model, _, params = tiny_bench
+    out = bench.measure_avatar(model, params)
+    assert out["avatar_round_ms_p50"] > 0
+    assert out["avatar_rendered_fps"] > 0
+    assert out["avatar_res"] == 16 and "avatar_realtime" in out
+
+
 def test_main_emits_one_json_line(tiny_bench, capsys):
     """End-to-end: main() prints exactly ONE parseable JSON line with the
     driver-contract fields, and no section error fields on a healthy run."""
@@ -94,7 +108,7 @@ def test_main_emits_one_json_line(tiny_bench, capsys):
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
     for key in ("independent_clips_frames_per_sec", "train_step_frames_per_sec",
-                "serving_round_ms_p50"):
+                "serving_round_ms_p50", "avatar_round_ms_p50"):
         assert key in rec
     assert not [k for k in rec if k.endswith("_error")]
 
