@@ -304,6 +304,34 @@ def measure_train_step() -> dict:
            "train_step_ms": round(dt * 1e3, 1)}
     if flops:
         out["train_step_mfu"] = round(flops / dt / V5E_BF16_PEAK_FLOPS, 3)
+
+    # TPU-native head shape: heads x dim_head regrouped to 128-wide heads
+    # (attn_dim_head knob). FLOP- and param-shape-identical (inner width
+    # heads*dim_head is unchanged), so the SAME params drive this arm; the
+    # 128-lane MXU makes it 1.34x on the full step at reference dims
+    # (PERF.md round-5 shape experiment, examples/slm_fullstep_shape_tpu.py).
+    inner = slm_cfg.enc_heads * getattr(slm_cfg, "attn_dim_head", 64)
+    if inner % 128 == 0 and inner >= 128:
+        cfg2 = C.slm_defaults()
+        cfg2.update(SLM_CFG_OVERRIDES)
+        cfg2.enc_heads = cfg2.dec_heads = inner // 128
+        cfg2.attn_dim_head = 128
+        model2 = SLM(cfg2, vq_cfg, dtype=jnp.bfloat16)
+        state2 = create_train_state(model2, {"params": params}, 1e-5,
+                                    weight_decay=0.01, clip_norm=1.0,
+                                    frozen_substrings=SLM_FROZEN_SUBSTRINGS)
+        step2 = make_slm_train_step(model2)
+        state2, logs = step2(state2, batch, rng)
+        float(logs["l_ce_l"])
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state2, logs = step2(state2, batch, jax.random.fold_in(rng, i))
+        float(logs["l_ce_l"])
+        dt2 = (time.perf_counter() - t0) / iters
+        out["train_step_ms_tpu_shape"] = round(dt2 * 1e3, 1)
+        if flops:
+            out["train_step_mfu_tpu_shape"] = round(
+                flops / dt2 / V5E_BF16_PEAK_FLOPS, 3)
     return out
 
 

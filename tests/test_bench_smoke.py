@@ -73,6 +73,9 @@ def test_measure_train_step(tiny_bench):
     out = bench.measure_train_step()
     assert out["train_step_frames_per_sec"] > 0
     assert out["train_step_ms"] > 0
+    # the TPU-native head-shape arm (inner width 2x64=128 -> 1x128 here)
+    # must run off the SAME params (round-5 shape experiment)
+    assert out["train_step_ms_tpu_shape"] > 0
 
 
 def test_measure_serving_accepts_bare_params(tiny_bench):
