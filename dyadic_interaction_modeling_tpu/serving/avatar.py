@@ -420,8 +420,13 @@ class StreamingAvatarPipeline:
         self.windower = StreamingSemanticWindower(semantic_radius)
         self.renderer = None
         if renderer is not None:
+            src = np.asarray(source_images)
+            if src.ndim != 4 or src.shape[0] != b:
+                raise ValueError(
+                    f"source_images must be (batch={b}, H, W, C) - one "
+                    f"source face per session stream - got {src.shape}")
             self.renderer = StreamingRenderer(
-                renderer, render_params, np.asarray(source_images),
+                renderer, render_params, src,
                 frames_per_call=render_frames_per_call,
                 outputs=render_outputs, as_uint8=render_uint8,
                 pipeline_depth=render_pipeline_depth)

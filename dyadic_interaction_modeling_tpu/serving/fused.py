@@ -152,6 +152,10 @@ class FusedAvatarPipeline:
         self._flushed = False
 
         src = jnp.asarray(source_images)
+        if src.ndim != 4 or src.shape[0] != batch:
+            raise ValueError(
+                f"source_images must be (batch={batch}, H, W, C) - one "
+                f"source face per avatar stream - got {src.shape}")
         self._src_tile = jnp.tile(src[:, None], (1, chunk, 1, 1, 1)).reshape(
             batch * chunk, *src.shape[1:])
         self._src_hw = src.shape[1:]

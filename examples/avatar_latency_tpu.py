@@ -114,10 +114,11 @@ def main(argv=None):
 
     def smooth_image(key, shape):
         """Low-frequency source (natural images are smooth; uniform noise
-        makes any sub-pixel flow delta look like O(1) pixel error)."""
+        makes any sub-pixel flow delta look like O(1) pixel error).
+        Per-stream phases so every avatar gets a distinct source face."""
         yy = jnp.linspace(0, 6.0, shape[1])[None, :, None, None]
         xx = jnp.linspace(0, 6.0, shape[2])[None, None, :, None]
-        ph = jax.random.uniform(key, (1, 1, 1, shape[3]), maxval=6.28)
+        ph = jax.random.uniform(key, (shape[0], 1, 1, shape[3]), maxval=6.28)
         return jnp.sin(yy + 1.7 * xx + ph) * 0.7
 
     renderer = r_params = src = None

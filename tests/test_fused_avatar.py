@@ -135,6 +135,19 @@ def test_fused_guards():
                             render_params=r_params, source_images=src,
                             chunk=4, vq_lookahead=4, smooth_window=5,
                             max_frames=16)
+    # one source face per stream: a (1, H, W, C) source with batch=2 must
+    # fail loudly, not crash in a reshape (found by the round-5 multi-avatar
+    # sweep) - and the same guard on the composable pipeline
+    with pytest.raises(ValueError, match="one source face per"):
+        FusedAvatarPipeline(model, params, renderer=renderer,
+                            render_params=r_params, source_images=src,
+                            batch=2, chunk=4, vq_lookahead=4, max_frames=16)
+    with pytest.raises(ValueError, match="one source face per"):
+        sess = StreamingListenerSession(model, params, batch=2, chunk=4,
+                                        max_frames=16)
+        StreamingAvatarPipeline(sess, renderer=renderer,
+                                render_params=r_params, source_images=src,
+                                semantic_radius=6)
 
     pipe = FusedAvatarPipeline(model, params, renderer=renderer,
                                render_params=r_params, source_images=src,
