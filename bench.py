@@ -28,7 +28,9 @@ bf16 streaming ceiling is ~360 GB/s, PERF.md), and
 token - on host CPU fp32, kept for continuity and clearly labeled),
 ``train_step_*`` (SLM pretrain step throughput + MFU - training-perf
 regressions driver-visible), and ``serving_*`` (128 lockstep streaming
-sessions, real-time round check - serving-layer regressions visible). All
+sessions, real-time round check - serving-layer regressions visible), and
+``gqa_mqa_*`` (the eval workload on an ``attn_kv_heads=1`` model - the
+round-5 grouped-query serving knob, measured, never the headline). All
 baselines are self-measured (the repo publishes no numbers, BASELINE.md) and
 cached in ``bench_baseline.json``.
 """
@@ -462,6 +464,33 @@ def measure_avatar(model, params) -> dict:
             "avatar_res": av["res"]}
 
 
+def measure_gqa(fields) -> dict:
+    """MQA arm (``attn_kv_heads=1``) of the eval workload - the round-5
+    serving knob (models/xtrans.py XAttention.kv_heads). The decode loop is
+    element-rate-limited on KV-cache reads (PERF.md int8 probe), so caching
+    K/V at 1 head instead of ``dec_heads`` divides exactly those elements;
+    a from-scratch training knob (smaller K/V projections), not
+    checkpoint-compatible - reported next to the multi-head headline, never
+    replacing it."""
+    import jax.numpy as jnp
+
+    from dyadic_interaction_modeling_tpu import config as C
+    from dyadic_interaction_modeling_tpu.models.slm import SLMFT
+
+    slm_cfg = C.slm_defaults()
+    slm_cfg.update(SLM_CFG_OVERRIDES)
+    slm_cfg.update(dict(attn_kv_heads=1))
+    vq_cfg = C.vq_listener_defaults()
+    vq_cfg.update(VQ_CFG_OVERRIDES)
+    model = SLMFT(slm_cfg, vq_cfg, dtype=jnp.bfloat16)
+    params = _init_params(model)
+    fps = measure_eval_workload(model, slm_cfg, params)
+    out = {"gqa_mqa_frames_per_sec": round(fps, 1)}
+    if fields.get("value"):
+        out["gqa_mqa_vs_multihead"] = round(fps / fields["value"], 2)
+    return out
+
+
 def decode_hbm_traffic_bytes(params, slm_cfg, b0, n, l, chunk,
                              bytes_per=2) -> int:
     """Analytic HBM traffic of the grouped+chunked decode schedule:
@@ -598,6 +627,10 @@ def main():
     _run_section("independent_clips", indep, fields)
     _run_section("cpu_reference", cpu_ref, fields)
     _run_section("train_step", measure_train_step, fields)
+    # gqa runs before the serving/avatar sections: their big session caches
+    # (B=128 x 1024-frame buffers) fragment HBM and depressed the MQA arm
+    # by ~20% when it ran last (round-5 measurement)
+    _run_section("gqa", lambda: measure_gqa(fields), fields)
     _run_section("serving", lambda: measure_serving(model, params), fields)
     _run_section("avatar", lambda: measure_avatar(model, params), fields)
 

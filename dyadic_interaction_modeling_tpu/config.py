@@ -261,6 +261,12 @@ def slm_defaults() -> CfgNode:
         # faster on the joint pass at identical FLOPs (PERF.md round-5 shape
         # experiment) - a from-scratch training knob, not a parity one.
         attn_dim_head=64,
+        # grouped-query attention: K/V heads per attention (0 = heads, the
+        # reference's multi-head layout). The decode loop is element-rate
+        # limited on KV-cache reads (PERF.md), so kv_heads divides decode
+        # cache traffic heads/kv_heads-fold - a from-scratch TPU serving
+        # knob, not a parity one (fewer K/V projection params).
+        attn_kv_heads=0,
         num_tokens=512,
         mask_ratio=0.15,
         contrastive_temp=0.05,

@@ -207,7 +207,10 @@ def make_slmft_generator(model: SLMFT, slm_cfg, max_len: int,
     decoder = TokenDecoder(
         num_tokens=slm_cfg.num_tokens, dim=slm_cfg.dim + slm_cfg.dim_audio,
         max_seq_len=slm_cfg.dec_max_seq_len, depth=slm_cfg.dec_depth,
-        heads=slm_cfg.dec_heads, use_abs_pos_emb=False, dtype=model.dtype)
+        heads=slm_cfg.dec_heads,
+        dim_head=getattr(slm_cfg, "attn_dim_head", 64),
+        kv_heads=getattr(slm_cfg, "attn_kv_heads", 0) or None,
+        use_abs_pos_emb=False, dtype=model.dtype)
 
     def generate(params, batch, rng, n_samples: int):
         src_v, tgt, src_a, mask = batch
@@ -243,7 +246,10 @@ def make_speaker_generator(model, slm_cfg, max_len: int,
     decoder = TokenDecoder(
         num_tokens=slm_cfg.num_tokens, dim=slm_cfg.dim + slm_cfg.dim_audio,
         max_seq_len=slm_cfg.dec_max_seq_len, depth=slm_cfg.dec_depth,
-        heads=slm_cfg.dec_heads, use_abs_pos_emb=True, dtype=model.dtype)
+        heads=slm_cfg.dec_heads,
+        dim_head=getattr(slm_cfg, "attn_dim_head", 64),
+        kv_heads=getattr(slm_cfg, "attn_kv_heads", 0) or None,
+        use_abs_pos_emb=True, dtype=model.dtype)
 
     def generate(params, batch, rng, n_samples: int):
         verts, emoca, audio, mask, template, sids = batch

@@ -133,9 +133,10 @@ class _SLMBase(CfgModule):
             f"decoder vocab ({c.num_tokens}) must equal the VQ codebook size "
             f"({self.vq_cfg.n_embed}) - the decoder predicts VQ code indices")
         dh = getattr(c, "attn_dim_head", 64)
+        kvh = getattr(c, "attn_kv_heads", 0) or None  # 0/None = multi-head
         enc = dict(dim=c.dim, dim_out=c.dim, max_seq_len=c.enc_max_seq_len,
                    depth=c.enc_depth, heads=c.enc_heads, dim_head=dh,
-                   dtype=self.dtype)
+                   kv_heads=kvh, dtype=self.dtype)
         self.encoder_s = ContinuousTransformerWrapper(**enc)
         self.encoder_l = ContinuousTransformerWrapper(**enc)
         self.encoder_joint = ContinuousTransformerWrapper(**enc)
@@ -153,7 +154,8 @@ class _SLMBase(CfgModule):
         self.decoder_joint = TokenDecoder(
             num_tokens=c.num_tokens, dim=c.dim + c.dim_audio,
             max_seq_len=c.dec_max_seq_len, depth=c.dec_depth, heads=c.dec_heads,
-            dim_head=dh, use_abs_pos_emb=dec_use_abs_pos_emb, dtype=self.dtype)
+            dim_head=dh, kv_heads=kvh, use_abs_pos_emb=dec_use_abs_pos_emb,
+            dtype=self.dtype)
 
     # --- shared vectorized tokenization (seq2seq_pretrain.py:185-199) ---
 

@@ -111,27 +111,64 @@ def _use_decode_kernel(kv_len: int, dim_head: int, which: str) -> bool:
 
 
 class XAttention(nn.Module):
-    """x-transformers-style attention: per-head scale, no biases."""
+    """x-transformers-style attention: per-head scale, no biases.
+
+    ``kv_heads`` (grouped-query attention): K/V are projected and cached at
+    ``kv_heads`` heads (< ``heads``); each KV head serves a contiguous group
+    of ``heads // kv_heads`` query heads. ``None`` (default) = ``heads`` =
+    the reference's multi-head layout, checkpoint-compatible. This is a
+    TPU-native from-scratch knob like ``attn_dim_head``: the decode loop is
+    ELEMENT-rate-limited on KV-cache reads (PERF.md int8 probe), and GQA
+    divides exactly those elements by ``heads / kv_heads``.
+    """
 
     dim: int
     heads: int = 8
     dim_head: int = 64
     causal: bool = False
     dtype: jnp.dtype = jnp.float32
+    kv_heads: Optional[int] = None
 
     def setup(self):
+        kvh = self.kv_heads or self.heads
+        assert self.heads % kvh == 0, (self.heads, kvh)
         inner = self.heads * self.dim_head
         self.to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype)
-        self.to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype)
-        self.to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype)
+        self.to_k = nn.Dense(kvh * self.dim_head, use_bias=False, dtype=self.dtype)
+        self.to_v = nn.Dense(kvh * self.dim_head, use_bias=False, dtype=self.dtype)
         self.to_out = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)
 
     def _proj(self, x, name):
         return {"to_q": self.to_q, "to_k": self.to_k, "to_v": self.to_v}[name](x)
 
+    @property
+    def _kvh(self) -> int:
+        return self.kv_heads or self.heads
+
+    @property
+    def _group(self) -> int:
+        return self.heads // self._kvh
+
     def _split(self, x):
         b, n, _ = x.shape
         return x.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+    def _split_kv(self, x):
+        b, n, _ = x.shape
+        return x.reshape(b, n, self._kvh, self.dim_head).transpose(0, 2, 1, 3)
+
+    def _fold_q(self, q):
+        """(B, H, N, D) -> (B, KVH, G*N, D): query head h = kv_head * G + g
+        folds into G rows per kv head, so the grouped attention runs through
+        the SAME 4-d einsums as multi-head (one batched GEMM per kv head).
+        Row-dependent masks must be tiled (G, N)-major to match."""
+        b, h, n, d = q.shape
+        return q.reshape(b, self._kvh, self._group * n, d)
+
+    def _unfold_o(self, o, n):
+        """(B, KVH, G*N, D) -> (B, H, N, D) (inverse of ``_fold_q``)."""
+        b, kvh, gn, d = o.shape
+        return o.reshape(b, self.heads, n, d)
 
     def __call__(self, x: Array, context: Optional[Array] = None,
                  key_mask: Optional[Array] = None,
@@ -139,30 +176,38 @@ class XAttention(nn.Module):
         """key_mask: (B, Lk) True=attend; attn_mask: (Lq, Lk) or (B, Lq, Lk)."""
         kv_src = x if context is None else context
         q = self._split(self._proj(x, "to_q"))
-        k = self._split(self._proj(kv_src, "to_k"))
-        v = self._split(self._proj(kv_src, "to_v"))
+        k = self._split_kv(self._proj(kv_src, "to_k"))
+        v = self._split_kv(self._proj(kv_src, "to_v"))
         scale = self.dim_head ** -0.5
+        g = self._group
         if attn_mask is None and _use_flash(k.shape[2], self.dim_head):
             # fused Pallas attention: the XLA masked-softmax path degrades
-            # badly at long L on this platform (measured 1646x at L=1024)
+            # badly at long L on this platform (measured 1646x at L=1024).
+            # GQA broadcasts K/V to full heads here - the kernel is O(L^2)
+            # compute-bound in training, where the linear-size repeat is noise
+            # (the GQA win is the DECODE cache, which never takes this path).
             from ..ops.pallas.attention import flash_attention
 
-            out = flash_attention(q, k, v, key_mask=key_mask,
+            kf = jnp.repeat(k, g, axis=1) if g > 1 else k
+            vf = jnp.repeat(v, g, axis=1) if g > 1 else v
+            out = flash_attention(q, kf, vf, key_mask=key_mask,
                                   causal=self.causal, scale=scale)
             b, h, n, d = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
             return self.to_out(out)
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+        nq = q.shape[2]
+        dots = jnp.einsum("bhid,bhjd->bhij", self._fold_q(q), k,
                           preferred_element_type=jnp.float32) * scale
-        lq, lk = dots.shape[-2], dots.shape[-1]
+        lk = dots.shape[-1]
+        # row-dependent masks tile (G, nq)-major to match _fold_q's row order
         if self.causal:
-            causal = jnp.tril(jnp.ones((lq, lk), dtype=bool), lk - lq)
-            dots = jnp.where(causal[None, None], dots, NEG_INF)
+            causal = jnp.tril(jnp.ones((nq, lk), dtype=bool), lk - nq)
+            dots = jnp.where(jnp.tile(causal, (g, 1))[None, None], dots, NEG_INF)
         if attn_mask is not None:
             if attn_mask.ndim == 2:
-                attn_mask = attn_mask[None, None]
+                attn_mask = jnp.tile(attn_mask, (g, 1))[None, None]
             elif attn_mask.ndim == 3:
-                attn_mask = attn_mask[:, None]
+                attn_mask = jnp.tile(attn_mask, (1, g, 1))[:, None]
             dots = jnp.where(attn_mask, dots, NEG_INF)
         if key_mask is not None:
             dots = jnp.where(key_mask[:, None, None, :], dots, NEG_INF)
@@ -171,6 +216,7 @@ class XAttention(nn.Module):
         attn = jnp.where(jnp.isfinite(dots).any(axis=-1, keepdims=True), attn, 0.0)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
+        out = self._unfold_o(out, nq)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return self.to_out(out)
@@ -178,36 +224,38 @@ class XAttention(nn.Module):
     # --- cached single-step path (generation) ---
 
     def cross_kv(self, context: Array) -> Tuple[Array, Array]:
-        """Precompute cross-attention K/V once per generated sequence."""
-        k = self._split(self._proj(context, "to_k"))
-        v = self._split(self._proj(context, "to_v"))
+        """Precompute cross-attention K/V once per generated sequence
+        ((B, KVH, L, Dh) - ``kv_heads`` wide under GQA)."""
+        k = self._split_kv(self._proj(context, "to_k"))
+        v = self._split_kv(self._proj(context, "to_v"))
         return k, v
 
     def step_self(self, x_t: Array, cache_k: Array, cache_v: Array, t: Array
                   ) -> Tuple[Array, Array, Array]:
         """Single-token causal self-attention against a KV cache.
 
-        x_t: (B, 1, dim); cache_k/v: (B, H, Lmax, Dh); t: scalar step index.
+        x_t: (B, 1, dim); cache_k/v: (B, KVH, Lmax, Dh); t: scalar step index.
         Returns (out (B,1,dim), new_cache_k, new_cache_v).
         """
         q = self._split(self._proj(x_t, "to_q"))         # (B,H,1,Dh)
-        k_t = self._split(self._proj(x_t, "to_k"))
-        v_t = self._split(self._proj(x_t, "to_v"))
+        k_t = self._split_kv(self._proj(x_t, "to_k"))
+        v_t = self._split_kv(self._proj(x_t, "to_v"))
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_t, (0, 0, t, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_t, (0, 0, t, 0))
         scale = self.dim_head ** -0.5
-        b, h, lmax, dh = cache_k.shape
+        b, h, lmax, dh = cache_k.shape  # h = KVH under GQA
+        q = self._fold_q(q)                              # (B,KVH,G,Dh) rows
         if _use_decode_kernel(lmax, self.dim_head, "self"):
             from ..ops.pallas.decode import decode_attention
 
             # block_k=64: the decode loop is HBM-bound and the kernel reads
             # only ceil((t+1)/block_k) blocks - finer blocks read less of the
             # cache (avg ~62% saved at L=256) at still-chunky DMA sizes
-            o = decode_attention(q.reshape(b * h, 1, dh),
+            o = decode_attention(q.reshape(b * h, self._group, dh),
                                  cache_k.reshape(b * h, lmax, dh),
                                  cache_v.reshape(b * h, lmax, dh),
                                  t, scale=scale, block_k=64)
-            out = o.reshape(b, h, 1, dh).astype(x_t.dtype)
+            out = o.reshape(b, h, self._group, dh).astype(x_t.dtype)
         else:
             dots = jnp.einsum("bhid,bhjd->bhij", q, cache_k,
                               preferred_element_type=jnp.float32) * scale
@@ -217,6 +265,7 @@ class XAttention(nn.Module):
             out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cache_v.dtype),
                              cache_v,
                              preferred_element_type=jnp.float32).astype(x_t.dtype)
+        out = self._unfold_o(out, 1)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = self.to_out(out)
@@ -234,21 +283,24 @@ class XAttention(nn.Module):
         streaming sessions equal offline encoding (tests/test_streaming.py).
         """
         q = self._split(self._proj(x_chunk, "to_q"))     # (B,H,C,Dh)
-        k_c = self._split(self._proj(x_chunk, "to_k"))
-        v_c = self._split(self._proj(x_chunk, "to_v"))
+        k_c = self._split_kv(self._proj(x_chunk, "to_k"))
+        v_c = self._split_kv(self._proj(x_chunk, "to_v"))
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_c, (0, 0, t, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_c, (0, 0, t, 0))
         scale = self.dim_head ** -0.5
         lmax = cache_k.shape[2]
-        dots = jnp.einsum("bhid,bhjd->bhij", q, cache_k,
+        nc = q.shape[2]
+        dots = jnp.einsum("bhid,bhjd->bhij", self._fold_q(q), cache_k,
                           preferred_element_type=jnp.float32) * scale
-        qpos = t + jnp.arange(q.shape[2])[:, None]       # (C, 1) absolute
+        qpos = t + jnp.arange(nc)[:, None]               # (C, 1) absolute
         kpos = jnp.arange(lmax)[None, :]                 # (1, Lmax)
-        dots = jnp.where((kpos <= qpos)[None, None], dots, NEG_INF)
+        causal = jnp.tile(kpos <= qpos, (self._group, 1))  # (G*C, Lmax)
+        dots = jnp.where(causal[None, None], dots, NEG_INF)
         attn = jax.nn.softmax(dots, axis=-1)
         out = jnp.einsum("bhij,bhjd->bhid", attn.astype(cache_v.dtype),
                          cache_v,
                          preferred_element_type=jnp.float32).astype(x_chunk.dtype)
+        out = self._unfold_o(out, nc)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         return self.to_out(out), cache_k, cache_v
@@ -272,18 +324,19 @@ class XAttention(nn.Module):
             b0 = nb // groups
             # (N*B0, H, 1, Dh) -> (B0, H, N, Dh): N query rows per context
             q = q.reshape(groups, b0, h, dh).transpose(1, 2, 0, 3)
+        nq = q.shape[2]
+        q = self._fold_q(q)  # (B0, KVH, G*N, Dh) - matches k/v's kv heads
         if _use_decode_kernel(k.shape[2], self.dim_head, "cross"):
             from ..ops.pallas.decode import decode_attention
 
             bb, h, lk, dh = k.shape
-            nq = q.shape[2]
             mask_r = (None if key_mask is None
                       else jnp.repeat(key_mask, h, axis=0))
-            o = decode_attention(q.reshape(bb * h, nq, dh),
+            o = decode_attention(q.reshape(bb * h, -1, dh),
                                  k.reshape(bb * h, lk, dh),
                                  v.reshape(bb * h, lk, dh),
                                  key_mask=mask_r, scale=scale)
-            out = o.reshape(bb, h, nq, dh).astype(x_t.dtype)
+            out = o.reshape(bb, h, -1, dh).astype(x_t.dtype)
         else:
             dots = jnp.einsum("bhid,bhjd->bhij", q, k,
                               preferred_element_type=jnp.float32) * scale
@@ -294,6 +347,7 @@ class XAttention(nn.Module):
                              attn, 0.0)
             out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
                              preferred_element_type=jnp.float32).astype(x_t.dtype)
+        out = self._unfold_o(out, nq)
         if groups > 1:
             b0, h, n, d = out.shape
             # (B0, H, N, Dh) -> (N*B0, 1, H*Dh)
@@ -333,6 +387,7 @@ class EncoderLayers(nn.Module):
     heads: int
     dim_head: int = 64
     dtype: jnp.dtype = jnp.float32
+    kv_heads: Optional[int] = None
 
     def setup(self):
         # explicit names keep the param tree identical to the earlier
@@ -340,7 +395,8 @@ class EncoderLayers(nn.Module):
         self.norm_attn = [_xt_norm(self.dtype, f"norm_attn_{i}")
                           for i in range(self.depth)]
         self.attn = [XAttention(self.dim, self.heads, self.dim_head,
-                                dtype=self.dtype, name=f"attn_{i}")
+                                dtype=self.dtype, kv_heads=self.kv_heads,
+                                name=f"attn_{i}")
                      for i in range(self.depth)]
         self.norms_ff = [_xt_norm(self.dtype, f"norm_ff_{i}")
                          for i in range(self.depth)]
@@ -383,18 +439,22 @@ class DecoderLayers(nn.Module):
     dim_head: int = 64
     cross_attend: bool = True
     dtype: jnp.dtype = jnp.float32
+    kv_heads: Optional[int] = None
 
     def setup(self):
         self.norm_self = [_xt_norm(self.dtype, f"norm_self_{i}")
                           for i in range(self.depth)]
         self.self_attn = [XAttention(self.dim, self.heads, self.dim_head, causal=True,
-                                     dtype=self.dtype, name=f"self_{i}")
+                                     dtype=self.dtype, kv_heads=self.kv_heads,
+                                     name=f"self_{i}")
                           for i in range(self.depth)]
         if self.cross_attend:
             self.norm_cross = [_xt_norm(self.dtype, f"norm_cross_{i}")
                                for i in range(self.depth)]
             self.cross_attn = [XAttention(self.dim, self.heads, self.dim_head,
-                                          dtype=self.dtype, name=f"cross_{i}")
+                                          dtype=self.dtype,
+                                          kv_heads=self.kv_heads,
+                                          name=f"cross_{i}")
                                for i in range(self.depth)]
         self.norm_ff = [_xt_norm(self.dtype, f"norm_ff_{i}")
                         for i in range(self.depth)]
@@ -439,9 +499,11 @@ class DecoderLayers(nn.Module):
 
 
 def init_decoder_cache(batch: int, max_len: int, depth: int, heads: int,
-                       dim_head: int = 64, dtype=jnp.float32) -> Dict[str, Array]:
-    """Preallocated self-attention KV cache for DecoderLayers.step."""
-    shape = (batch, heads, max_len, dim_head)
+                       dim_head: int = 64, dtype=jnp.float32,
+                       kv_heads: Optional[int] = None) -> Dict[str, Array]:
+    """Preallocated self-attention KV cache for DecoderLayers.step.
+    Under GQA (``kv_heads`` set) the cache holds ``kv_heads`` heads."""
+    shape = (batch, kv_heads or heads, max_len, dim_head)
     cache = {}
     for i in range(depth):
         cache[f"k_{i}"] = jnp.zeros(shape, dtype=dtype)
@@ -469,6 +531,7 @@ class ContinuousTransformerWrapper(nn.Module):
     dim_head: int = 64
     use_abs_pos_emb: bool = True
     dtype: jnp.dtype = jnp.float32
+    kv_heads: Optional[int] = None
 
     def setup(self):
         self.project_in = nn.Dense(self.dim, dtype=self.dtype)
@@ -476,7 +539,8 @@ class ContinuousTransformerWrapper(nn.Module):
             self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
                                       (self.max_seq_len, self.dim))
         self.layers = EncoderLayers(self.dim, self.depth, self.heads,
-                                    dim_head=self.dim_head, dtype=self.dtype)
+                                    dim_head=self.dim_head, dtype=self.dtype,
+                                    kv_heads=self.kv_heads)
         # lazily initialized on first call - absent from the param tree of
         # models that only use return_embeddings=True (as before)
         self.project_out = nn.Dense(self.dim_out, dtype=self.dtype)
@@ -527,6 +591,7 @@ class TokenDecoder(nn.Module):
     dim_head: int = 64
     use_abs_pos_emb: bool = True
     dtype: jnp.dtype = jnp.float32
+    kv_heads: Optional[int] = None
 
     def setup(self):
         self.token_emb = nn.Embed(self.num_tokens, self.dim, dtype=self.dtype)
@@ -534,7 +599,8 @@ class TokenDecoder(nn.Module):
             self.pos_emb = self.param("pos_emb", nn.initializers.normal(0.02),
                                       (self.max_seq_len, self.dim))
         self.layers = DecoderLayers(self.dim, self.depth, self.heads,
-                                    dim_head=self.dim_head, dtype=self.dtype)
+                                    dim_head=self.dim_head, dtype=self.dtype,
+                                    kv_heads=self.kv_heads)
         self.to_logits = nn.Dense(self.num_tokens, use_bias=False, dtype=self.dtype)
 
     def _embed(self, tokens: Array, offset=0) -> Array:
@@ -687,7 +753,8 @@ def generate_tokens(
 
     cross_kv = decoder.apply(params, context, method=TokenDecoder.cross_kv)
     cache = init_decoder_cache(b, max_len, decoder.depth, decoder.heads,
-                               dim_head=decoder.dim_head, dtype=decoder.dtype)
+                               dim_head=decoder.dim_head, dtype=decoder.dtype,
+                               kv_heads=decoder.kv_heads)
 
     def step_fn(token, cache, t):
         return decoder.apply(params, token, cache, t, cross_kv, context_mask,

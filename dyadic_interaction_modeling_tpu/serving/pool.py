@@ -102,17 +102,18 @@ class StreamingSessionPool:
         tmax = self.max_tokens + 1
 
         dh = getattr(c, "attn_dim_head", 64)
+        kvh = getattr(c, "attn_kv_heads", 0) or None  # GQA cache width
         self._enc_s = init_decoder_cache(P, lmax, c.enc_depth, c.enc_heads,
-                                         dim_head=dh, dtype=dt)
+                                         dim_head=dh, dtype=dt, kv_heads=kvh)
         self._enc_j = init_decoder_cache(P, lmax, c.enc_depth, c.enc_heads,
-                                         dim_head=dh, dtype=dt)
+                                         dim_head=dh, dtype=dt, kv_heads=kvh)
         self._cross = {}
         for i in range(c.dec_depth):
-            shape = (P, c.dec_heads, lmax, dh)
+            shape = (P, kvh or c.dec_heads, lmax, dh)
             self._cross[f"ck_{i}"] = jnp.zeros(shape, dtype=dt)
             self._cross[f"cv_{i}"] = jnp.zeros(shape, dtype=dt)
         self._dec = init_decoder_cache(P, tmax, c.dec_depth, c.dec_heads,
-                                       dim_head=dh, dtype=dt)
+                                       dim_head=dh, dtype=dt, kv_heads=kvh)
         self._logits = jnp.zeros((P, c.num_tokens), jnp.float32)
         self._keys = jnp.stack([jax.random.PRNGKey(0)] * P)
         if mesh is not None:

@@ -67,13 +67,15 @@ class StreamingSpeakerSession:
                       else jnp.asarray(speaker_ids, jnp.int32))
 
         dh = getattr(c, "attn_dim_head", 64)
+        kvh = getattr(c, "attn_kv_heads", 0) or None  # GQA cache width
         self._cross = {}
         for i in range(c.dec_depth):
-            shape = (batch, c.dec_heads, max_frames, dh)
+            shape = (batch, kvh or c.dec_heads, max_frames, dh)
             self._cross[f"ck_{i}"] = jnp.zeros(shape, dtype=dt)
             self._cross[f"cv_{i}"] = jnp.zeros(shape, dtype=dt)
         self._dec = init_decoder_cache(batch, self.max_tokens, c.dec_depth,
-                                       c.dec_heads, dim_head=dh, dtype=dt)
+                                       c.dec_heads, dim_head=dh, dtype=dt,
+                                       kv_heads=kvh)
         self._t_ctx = jnp.zeros((), jnp.int32)
         self._t_dec = jnp.zeros((), jnp.int32)
         self._logits = None

@@ -99,6 +99,16 @@ def test_measure_avatar_fused_round(tiny_bench):
     assert out["avatar_res"] == 16 and "avatar_realtime" in out
 
 
+def test_measure_gqa_arm(tiny_bench):
+    """Round-5 section: the MQA eval-workload arm builds its own
+    attn_kv_heads=1 model (narrow K/V projections) and reports throughput
+    plus the vs-multihead ratio when the headline exists."""
+    del tiny_bench
+    out = bench.measure_gqa({"value": 100.0})
+    assert out["gqa_mqa_frames_per_sec"] > 0
+    assert out["gqa_mqa_vs_multihead"] > 0
+
+
 def test_main_emits_one_json_line(tiny_bench, capsys):
     """End-to-end: main() prints exactly ONE parseable JSON line with the
     driver-contract fields, and no section error fields on a healthy run."""
@@ -111,7 +121,8 @@ def test_main_emits_one_json_line(tiny_bench, capsys):
     assert rec["value"] > 0
     assert rec["vs_baseline"] > 0
     for key in ("independent_clips_frames_per_sec", "train_step_frames_per_sec",
-                "serving_round_ms_p50", "avatar_round_ms_p50"):
+                "serving_round_ms_p50", "avatar_round_ms_p50",
+                "gqa_mqa_frames_per_sec"):
         assert key in rec
     assert not [k for k in rec if k.endswith("_error")]
 
