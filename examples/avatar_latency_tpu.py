@@ -73,6 +73,9 @@ def main(argv=None):
                              "parity shapes) instead of the serving config "
                              "(fake only, uint8 on device - 8x less "
                              "device->host traffic)")
+    parser.add_argument("--kv-heads", type=int, default=0,
+                        help="grouped-query attention K/V heads (0 = "
+                             "multi-head; 1 = MQA, PERF.md GQA section)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -95,6 +98,7 @@ def main(argv=None):
 
     b, c = args.batch, args.chunk
     slm_cfg = C.slm_defaults()
+    slm_cfg.update(dict(attn_kv_heads=args.kv_heads))
     vq_cfg = C.vq_listener_defaults()
     model = SLMFT(slm_cfg, vq_cfg, dtype=jnp.bfloat16)
     ks = jax.random.split(jax.random.PRNGKey(0), 4)

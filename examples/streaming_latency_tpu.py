@@ -43,6 +43,11 @@ def main(argv=None):
                              "lockstep session: --batch slots at mixed "
                              "context lengths with one leave+join per round "
                              "(continuous batching)")
+    parser.add_argument("--kv-heads", type=int, default=0,
+                        help="grouped-query attention: K/V heads (0 = "
+                             "multi-head). attn_kv_heads=1 (MQA) doubles "
+                             "real-time capacity to 256 streams/chip "
+                             "(PERF.md 'MQA capacity')")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -60,6 +65,7 @@ def main(argv=None):
     from dyadic_interaction_modeling_tpu.serving import StreamingListenerSession
 
     slm_cfg = C.slm_defaults()
+    slm_cfg.update(dict(attn_kv_heads=args.kv_heads))
     vq_cfg = C.vq_listener_defaults()
     model = SLMFT(slm_cfg, vq_cfg, dtype=jnp.bfloat16)
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -83,6 +89,7 @@ def main(argv=None):
     au = rng.standard_normal((b, c, 768), dtype=np.float32)
 
     print(f"chunk={c} batch={b} max_frames={args.max_frames} "
+          f"kv_heads={args.kv_heads or 'multi-head'} "
           f"platform={jax.default_backend()} dtype=bf16 dims=reference(384/768)")
     t0 = time.time(); sess.feed(sp, au)
     print(f"feed compile: {time.time() - t0:.1f}s")
