@@ -40,6 +40,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--len", type=int, default=256, dest="seq_len")
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--mqa", action="store_true",
+                        help="add a 6x128 + attn_kv_heads=1 arm (the full "
+                             "TPU-native config; K/V projections shrink, so "
+                             "this arm re-inits its own params)")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args(argv)
 
@@ -75,17 +79,20 @@ def main(argv=None):
              jnp.ones((b, l), dtype=bool))
     tiny = tuple(x[:1, :8] for x in batch)
 
-    arms = (("12x64 (reference shape)", 12, 64),
-            ("6x128 (MXU-lane-matched)", 6, 128))
+    arms = [("12x64 (reference shape)", 12, 64, 0),
+            ("6x128 (MXU-lane-matched)", 6, 128, 0)]
+    if args.mqa:
+        arms.append(("6x128 + MQA (kv_heads=1)", 6, 128, 1))
     params = None
     results = {}
-    for name, heads, dim_head in arms:
+    for name, heads, dim_head, kv in arms:
         slm_cfg = C.slm_defaults()
         slm_cfg.enc_heads = heads
         slm_cfg.dec_heads = heads
         slm_cfg.attn_dim_head = dim_head
+        slm_cfg.attn_kv_heads = kv
         model = SLM(slm_cfg, vq_cfg, dtype=jnp.bfloat16)
-        if params is None:  # shapes identical across arms - init once
+        if params is None or kv:  # kv arms shrink K/V kernels - own init
             params = model.init(jax.random.PRNGKey(1), *tiny,
                                 jax.random.PRNGKey(2))["params"]
         state = create_train_state(model, {"params": params}, 1e-5,
@@ -117,6 +124,11 @@ def main(argv=None):
     base = results[arms[0][0]]
     alt = results[arms[1][0]]
     print(f"full-step speedup 6x128 vs 12x64: {base / alt:.3f}x")
+    if args.mqa:
+        mqa = results[arms[2][0]]
+        print(f"full-step speedup 6x128+MQA vs 12x64: {base / mqa:.3f}x "
+              f"(vs 6x128: {alt / mqa:.3f}x; fewer K/V params, not "
+              f"FLOP-identical)")
 
 
 if __name__ == "__main__":

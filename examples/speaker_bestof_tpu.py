@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--clips", type=int, default=2)
     p.add_argument("--n", type=int, default=50)
     p.add_argument("--vertice-dim", type=int, default=70110)
+    p.add_argument("--kv-heads", type=int, default=0,
+                   help="grouped-query attention K/V heads (0 = multi-head; "
+                        "1 = MQA, PERF.md GQA section)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
 
@@ -47,6 +50,7 @@ def main(argv=None):
     from dyadic_interaction_modeling_tpu.models.slm import SpeakerSLMFT
 
     slm_cfg = C.slm_defaults()
+    slm_cfg.update(dict(attn_kv_heads=args.kv_heads))
     vq_cfg = C.vq_listener_defaults()
     model = SpeakerSLMFT(slm_cfg, vq_cfg, vertice_dim=args.vertice_dim,
                          dtype=jnp.bfloat16)
